@@ -1,0 +1,96 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Fused dequant-matmul: Pallas (interpret mode on CPU) vs jnp reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vllm_metal_tpu.gguf.quants import (
+    pack_affine_q4, pack_q8, quantize_q4_k, quantize_q6_k, quantize_q8_0,
+)
+from vllm_metal_tpu.gguf.reader import GGMLType
+from vllm_metal_tpu.ops.quant_matmul import (
+    QuantLinear, _quant_matmul_pallas, dequantize_ref, linear, linear_ref,
+)
+
+
+def make_q4(n, k, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    p = pack_affine_q4(quantize_q4_k(w), GGMLType.Q4_K, (n, k))
+    return QuantLinear(kind="q4", w=jnp.asarray(p.packed),
+                       scales=jnp.asarray(p.scales.astype(np.float16)),
+                       biases=jnp.asarray(p.biases.astype(np.float16)),
+                       group_size=32)
+
+
+def make_q8(n, k, seed=0, qt=GGMLType.Q8_0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    enc = quantize_q8_0(w) if qt == GGMLType.Q8_0 else quantize_q6_k(w)
+    p = pack_q8(enc, qt, (n, k))
+    return QuantLinear(
+        kind="q8", w=jnp.asarray(p.q),
+        scales=jnp.asarray(p.scales.astype(np.float16)),
+        biases=None if p.biases is None
+        else jnp.asarray(p.biases.astype(np.float16)),
+        group_size=p.group_size)
+
+
+@pytest.mark.parametrize("m", [8, 64])
+def test_q4_pallas_matches_reference(m):
+    n, k = 256, 512
+    ql = make_q4(n, k)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((m, k)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    want = linear_ref(x, ql, jnp.float32)
+    got = _quant_matmul_pallas(x, ql, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("qt,g", [(GGMLType.Q8_0, 32), (GGMLType.Q6_K, 16)])
+def test_q8_pallas_matches_reference(qt, g):
+    n, k, m = 128, 512, 16
+    ql = make_q8(n, k, qt=qt)
+    assert ql.group_size == g
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((m, k)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    want = linear_ref(x, ql, jnp.float32)
+    got = _quant_matmul_pallas(x, ql, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_linear_handles_leading_dims_and_padding():
+    ql = make_q4(128, 256)
+    x = jnp.ones((3, 256), jnp.bfloat16)  # M=3 needs padding to 8
+    y = linear(x, ql, use_pallas=False)
+    assert y.shape == (3, 128)
+    y3 = linear(x[None], ql, use_pallas=False)
+    assert y3.shape == (1, 3, 128)
+    np.testing.assert_allclose(np.asarray(y3[0]), np.asarray(y))
+
+
+def test_dense_linear():
+    w = jnp.asarray(np.random.default_rng(3).standard_normal((64, 32)),
+                    dtype=jnp.float32)
+    ql = QuantLinear.dense(w)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((5, 32)),
+                    dtype=jnp.float32)
+    got = linear(x, ql, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x) @ np.asarray(w).T,
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_dequantize_ref_q4_exact_vs_numpy():
+    ql = make_q4(8, 64)
+    w = np.asarray(dequantize_ref(ql))
+    packed = np.asarray(ql.w)
+    lo = (packed & 0xF).astype(np.float32)
+    hi = (packed >> 4).astype(np.float32)
+    q = np.stack([lo, hi], axis=-1).reshape(8, 64)
+    s = np.asarray(ql.scales, np.float32).repeat(32, axis=1)
+    b = np.asarray(ql.biases, np.float32).repeat(32, axis=1)
+    np.testing.assert_allclose(w, q * s + b, rtol=1e-6, atol=1e-6)

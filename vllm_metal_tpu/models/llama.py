@@ -1,0 +1,196 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Llama-family transformer (Llama 1-3, Qwen2/2.5, Qwen3, Mistral).
+
+Pure-functional forward over a pytree of (quantized) weights.  Attention is
+dependency-injected: the model computes projected/roped q, k, v for each
+layer and calls ``attn_fn(layer_idx, q, k, v)``, which may run dense causal
+attention (tests, prefill-only) or the paged runtime.  This replaces the
+reference's monkey-patching of mlx_lm attention modules
+(``/root/reference/vllm_metal/attention/impls/sdpa_wrapper.py:185``) with an
+explicit functional seam.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.quant_matmul import QuantLinear, linear
+from ..utils import static_dataclass
+from .common import activation, apply_rope, embed_lookup, rms_norm, \
+    rope_frequencies
+from .registry import register_model
+
+# attn_fn(layer_idx, q[T,Hq,D], k[T,Hk,D], v[T,Hk,D]) -> [T,Hq,D]
+AttnFn = Callable[[int, jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+@static_dataclass()
+class LlamaLayerWeights:
+    attn_norm: jax.Array
+    wq: QuantLinear
+    wk: QuantLinear
+    wv: QuantLinear
+    wo: QuantLinear
+    mlp_norm: jax.Array
+    gate: QuantLinear
+    up: QuantLinear
+    down: QuantLinear
+    q_norm: Optional[jax.Array] = None     # qwen3 per-head RMSNorm [head_dim]
+    k_norm: Optional[jax.Array] = None
+    bq: Optional[jax.Array] = None         # qwen2 attention biases
+    bk: Optional[jax.Array] = None
+    bv: Optional[jax.Array] = None
+
+
+@static_dataclass()
+class LlamaWeights:
+    embedding: QuantLinear                 # [V, H]
+    layers: list[LlamaLayerWeights]
+    final_norm: jax.Array
+    lm_head: Optional[QuantLinear]         # None = tied to embedding
+
+
+@register_model("llama", "llama2", "llama3", "mistral", "qwen2", "qwen3")
+class LlamaModel:
+    """Stateless model: all state (weights, KV) is passed explicitly."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.inv_freq = rope_frequencies(
+            cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+        self.act = activation(cfg.hidden_act)
+
+    # -- weight init (tests) ------------------------------------------------
+    def init_random(self, key: jax.Array, dtype=jnp.bfloat16) -> LlamaWeights:
+        cfg = self.cfg
+        keys = iter(jax.random.split(key, 4 + 16 * cfg.num_layers))
+
+        def dense(shape, scale=0.02):
+            return QuantLinear.dense(
+                (jax.random.normal(next(keys), shape, jnp.float32)
+                 * scale).astype(dtype))
+
+        layers = []
+        h, q_dim, kv_dim = cfg.hidden_size, cfg.q_dim, cfg.kv_dim
+        for _ in range(cfg.num_layers):
+            layers.append(LlamaLayerWeights(
+                attn_norm=jnp.ones((h,), dtype),
+                wq=dense((q_dim, h)),
+                wk=dense((kv_dim, h)),
+                wv=dense((kv_dim, h)),
+                wo=dense((h, q_dim)),
+                mlp_norm=jnp.ones((h,), dtype),
+                gate=dense((cfg.intermediate_size, h)),
+                up=dense((cfg.intermediate_size, h)),
+                down=dense((h, cfg.intermediate_size)),
+                q_norm=jnp.ones((cfg.head_dim,), dtype) if cfg.qk_norm else None,
+                k_norm=jnp.ones((cfg.head_dim,), dtype) if cfg.qk_norm else None,
+            ))
+        return LlamaWeights(
+            embedding=dense((cfg.vocab_size, h)),
+            layers=layers,
+            final_norm=jnp.ones((h,), dtype),
+            lm_head=None if cfg.tie_word_embeddings else dense((cfg.vocab_size, h)),
+        )
+
+    # -- forward ------------------------------------------------------------
+    def embed(self, weights: LlamaWeights, token_ids: jax.Array) -> jax.Array:
+        x = embed_lookup(weights.embedding, token_ids)
+        if self.cfg.scale_embeddings:
+            x = x * jnp.asarray(self.cfg.hidden_size ** 0.5, x.dtype)
+        return x
+
+    def layer_qkv(self, lw: LlamaLayerWeights, x: jax.Array,
+                  positions: jax.Array):
+        """Project + norm + rope one layer's q, k, v from hidden x [T, H]."""
+        cfg = self.cfg
+        t = x.shape[0]
+        h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps)
+        q = linear(h, lw.wq)
+        k = linear(h, lw.wk)
+        v = linear(h, lw.wv)
+        if lw.bq is not None:
+            q = q + lw.bq.astype(q.dtype)
+            k = k + lw.bk.astype(k.dtype)
+            v = v + lw.bv.astype(v.dtype)
+        q = q.reshape(t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(t, cfg.num_kv_heads, cfg.head_dim)
+        if lw.q_norm is not None:
+            q = rms_norm(q, lw.q_norm, cfg.rms_norm_eps)
+            k = rms_norm(k, lw.k_norm, cfg.rms_norm_eps)
+        q = apply_rope(q, positions, self.inv_freq)
+        k = apply_rope(k, positions, self.inv_freq)
+        return q, k, v
+
+    def layer_post_attn(self, lw: LlamaLayerWeights, x: jax.Array,
+                        attn_out: jax.Array) -> jax.Array:
+        """Residual add + MLP for one layer. attn_out: [T, Hq, D]."""
+        t = x.shape[0]
+        x = x + linear(attn_out.reshape(t, -1), lw.wo)
+        h = rms_norm(x, lw.mlp_norm, self.cfg.rms_norm_eps)
+        y = self.act(linear(h, lw.gate).astype(jnp.float32)).astype(h.dtype) \
+            * linear(h, lw.up)
+        return x + linear(y, lw.down)
+
+    def forward_hidden(self, weights: LlamaWeights, token_ids: jax.Array,
+                       positions: jax.Array, attn_fn: AttnFn) -> jax.Array:
+        """token_ids [T] -> final hidden states [T, H] (pre-norm applied)."""
+        x = self.embed(weights, token_ids)
+        for i, lw in enumerate(weights.layers):
+            q, k, v = self.layer_qkv(lw, x, positions)
+            attn_out = attn_fn(i, q, k, v)
+            x = self.layer_post_attn(lw, x, attn_out)
+        return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps)
+
+    def logits(self, weights: LlamaWeights, hidden: jax.Array) -> jax.Array:
+        head = weights.lm_head if weights.lm_head is not None \
+            else weights.embedding
+        out = linear(hidden, head, out_dtype=jnp.float32)
+        if self.cfg.logit_softcap:
+            c = self.cfg.logit_softcap
+            out = jnp.tanh(out / c) * c
+        return out
+
+    def forward(self, weights: LlamaWeights, token_ids: jax.Array,
+                positions: jax.Array, attn_fn: AttnFn) -> jax.Array:
+        """token_ids [T] -> logits [T, V]."""
+        return self.logits(
+            weights, self.forward_hidden(weights, token_ids, positions, attn_fn))
+
+
+def dense_causal_attn(cfg: ModelConfig) -> AttnFn:
+    """Simple full causal attention for tests / no-cache prefill.
+
+    Assumes a single contiguous sequence (positions 0..T-1).
+    """
+
+    def attn(layer_idx: int, q: jax.Array, k: jax.Array,
+             v: jax.Array) -> jax.Array:
+        t, hq, d = q.shape
+        hk = k.shape[1]
+        rep = hq // hk
+        kx = jnp.repeat(k, rep, axis=1)
+        vx = jnp.repeat(v, rep, axis=1)
+        scale = d ** -0.5
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            kx.astype(jnp.float32)) * scale
+        if cfg.attn_logit_softcap:
+            c = cfg.attn_logit_softcap
+            logits = jnp.tanh(logits / c) * c
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        w = cfg.layer_sliding_window(layer_idx)
+        if w is not None:
+            rows = jnp.arange(t)[:, None]
+            cols = jnp.arange(t)[None, :]
+            mask = mask & (cols > rows - w)
+        logits = jnp.where(mask[None], logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("hqk,khd->qhd", p, vx.astype(jnp.float32))
+        return out.astype(q.dtype)
+
+    return attn

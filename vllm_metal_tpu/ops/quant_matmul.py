@@ -1,0 +1,240 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Fused dequantize + matmul for GGUF-derived weights.
+
+The reference engine gets its fused quantized matmul for free from MLX
+(``/root/reference/vllm_metal/gguf/mlx_native.py`` — ``mx.quantized_matmul``
+over uint32-packed affine group-32 weights).  On TPU we own this path: a
+Pallas kernel streams the packed weights HBM->VMEM, dequantizes on the VPU,
+and feeds bf16 tiles to the MXU — the dense weight never materializes in HBM.
+
+Runtime weight formats (produced by :mod:`..gguf.quants`):
+
+* ``q4``: ``uint8 [N, K//2]`` (elem ``2k`` low nibble, ``2k+1`` high nibble)
+  + ``scales``/``biases`` ``[N, K//32]``; ``w = q * scale + bias``.
+* ``q8``: ``int8 [N, K]`` + ``scales [N, K//G]`` (+ optional ``biases``),
+  ``G`` 16 or 32.
+* ``dense``: plain bf16/f32 ``[N, K]``.
+
+Weight layout is ``[out_features, in_features]``; ``linear(x, w)`` computes
+``x @ w.T`` like the reference's projection layers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import envs
+from ..utils import static_dataclass
+
+
+@static_dataclass(meta_fields=("kind", "group_size"))
+class QuantLinear:
+    """A (possibly quantized) linear weight as a pytree."""
+
+    kind: str                      # "dense" | "q4" | "q8"
+    w: jax.Array                   # dense [N,K] | packed u8 [N,K//2] | i8 [N,K]
+    scales: Optional[jax.Array]    # [N, K//G] or None
+    biases: Optional[jax.Array]    # [N, K//G] or None
+    group_size: int = 32
+
+    @property
+    def out_features(self) -> int:
+        return self.w.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.w.shape[1] * (2 if self.kind == "q4" else 1)
+
+    @classmethod
+    def dense(cls, w: jax.Array) -> "QuantLinear":
+        return cls(kind="dense", w=w, scales=None, biases=None)
+
+
+def _unpack_q4(packed: jax.Array) -> jax.Array:
+    """uint8 [N, K//2] -> int8-valued [N, K] (nibble 2k low, 2k+1 high)."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    n, kh = packed.shape
+    return jnp.stack([lo, hi], axis=-1).reshape(n, kh * 2)
+
+
+def _expand_groups(s: jax.Array, group_size: int) -> jax.Array:
+    """[N, G] -> [N, G*group_size] by repeating each group value."""
+    return jnp.repeat(s, group_size, axis=-1)
+
+
+def dequantize_ref(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
+    """Reference dense materialization (CPU tests / fallback)."""
+    if ql.kind == "dense":
+        return ql.w.astype(dtype)
+    if ql.kind == "q4":
+        q = _unpack_q4(ql.w).astype(jnp.float32)
+    elif ql.kind == "q8":
+        q = ql.w.astype(jnp.float32)
+    else:
+        raise ValueError(ql.kind)
+    w = q * _expand_groups(ql.scales.astype(jnp.float32), ql.group_size)
+    if ql.biases is not None:
+        w = w + _expand_groups(ql.biases.astype(jnp.float32), ql.group_size)
+    return w.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernels
+# ---------------------------------------------------------------------------
+
+def _pick_tile(dim: int, candidates: tuple[int, ...]) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    raise ValueError(f"dimension {dim} has no tile among {candidates}")
+
+
+def _q4_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
+               group_size: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[:]
+    tn, khalf = packed.shape
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    q = jnp.stack([lo, hi], axis=-1).reshape(tn, khalf * 2).astype(jnp.float32)
+    scale = jnp.repeat(s_ref[:].astype(jnp.float32), group_size, axis=-1)
+    bias = jnp.repeat(b_ref[:].astype(jnp.float32), group_size, axis=-1)
+    w = (q * scale + bias).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _q8_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
+               group_size: int, has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = w_ref[:].astype(jnp.float32)
+    scale = jnp.repeat(s_ref[:].astype(jnp.float32), group_size, axis=-1)
+    w = q * scale
+    if has_bias:
+        w = w + jnp.repeat(b_ref[:].astype(jnp.float32), group_size, axis=-1)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _quant_matmul_pallas(x: jax.Array, ql: QuantLinear,
+                         out_dtype=jnp.bfloat16,
+                         interpret: bool = False) -> jax.Array:
+    """x [M, K] @ dequant(ql).T -> [M, N].  M must be a multiple of 8."""
+    m, kdim = x.shape
+    n = ql.out_features
+    g = ql.group_size
+    assert kdim == ql.in_features, (x.shape, ql.w.shape)
+
+    tm = _pick_tile(m, (256, 128, 64, 32, 16, 8))
+    tn = _pick_tile(n, (256, 128, 512))
+    tk = _pick_tile(kdim, (512, 256, 128, 1024))
+    n_k = kdim // tk
+
+    has_bias = ql.biases is not None
+    biases = ql.biases if has_bias else ql.scales  # dummy operand when absent
+
+    if ql.kind == "q4":
+        kernel = functools.partial(_q4_kernel, n_k=n_k, group_size=g)
+        w_spec = pl.BlockSpec((tn, tk // 2), lambda i, j, k: (j, k),
+                              memory_space=pltpu.VMEM)
+    elif ql.kind == "q8":
+        kernel = functools.partial(_q8_kernel, n_k=n_k, group_size=g,
+                                   has_bias=has_bias)
+        w_spec = pl.BlockSpec((tn, tk), lambda i, j, k: (j, k),
+                              memory_space=pltpu.VMEM)
+    else:
+        raise ValueError(ql.kind)
+
+    grid = (m // tm, n // tn, n_k)
+    flops = 2 * m * n * kdim
+    bytes_accessed = (ql.w.size * ql.w.dtype.itemsize
+                      + m * kdim * x.dtype.itemsize + m * n * 2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+            pl.BlockSpec((tn, tk // g), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk // g), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(x, ql.w, ql.scales, biases)
+
+
+def linear_ref(x: jax.Array, ql: QuantLinear,
+               out_dtype=jnp.bfloat16) -> jax.Array:
+    """Pure-jnp reference: x [..., K] -> [..., N].
+
+    Matches the Pallas kernel's precision policy: dequantized weights are
+    rounded to x.dtype (bf16 in serving), products accumulate in f32.
+    """
+    w = dequantize_ref(ql, x.dtype)
+    y = jnp.einsum("...k,nk->...n", x, w,
+                   preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)
+
+
+def linear(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
+           use_pallas: Optional[bool] = None) -> jax.Array:
+    """Quantized linear: x [..., K] -> [..., N] (= x @ dequant(w).T)."""
+    if ql.kind == "dense":
+        return jnp.einsum(
+            "...k,nk->...n", x, ql.w.astype(x.dtype)).astype(out_dtype)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      or envs.PALLAS_INTERPRET)
+    if not use_pallas:
+        return linear_ref(x, ql, out_dtype)
+
+    lead = x.shape[:-1]
+    kdim = x.shape[-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, kdim)
+    pad = (-m) % 8
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    y = _quant_matmul_pallas(x2, ql, out_dtype=out_dtype,
+                             interpret=bool(envs.PALLAS_INTERPRET))
+    if pad:
+        y = y[:m]
+    return y.reshape(*lead, ql.out_features)
