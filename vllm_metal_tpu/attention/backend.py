@@ -1,0 +1,71 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Attention backend: wires model layers to the paged KV pool.
+
+Replaces the reference's runtime-protocol + wrapper-patching machinery
+(``/root/reference/vllm_metal/attention/runtime/mha.py:16``,
+``impls/sdpa_wrapper.py:45``) with a functional seam: ``make_attn_fn``
+returns the ``attn_fn`` the model forward calls per layer; cache updates
+thread through a closure cell and are retrieved after the forward.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+
+from .. import envs
+from ..config import ModelConfig
+from ..ops.paged_attention import paged_attention_ref
+from .kv_cache import PagedKVCache
+from .metadata import AttentionMetadata
+
+
+class PagedAttentionBackend:
+    """Selects kernel vs reference path and owns per-layer dispatch policy."""
+
+    def __init__(self, model_cfg: ModelConfig,
+                 use_pallas: Optional[bool] = None):
+        self.cfg = model_cfg
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and not envs.FORCE_REFERENCE_ATTENTION)
+        self.use_pallas = use_pallas
+        self.scale = model_cfg.extra.get(
+            "attn_scale", model_cfg.head_dim ** -0.5)
+
+    def attend(self, layer_idx: int, q: jax.Array, k: jax.Array,
+               v: jax.Array, cache: PagedKVCache,
+               md: AttentionMetadata,
+               sinks: Optional[jax.Array] = None
+               ) -> tuple[jax.Array, PagedKVCache]:
+        """Write k/v into the pool, then attend q against the pool."""
+        cache = cache.write(layer_idx, k, v, md.slot_mapping)
+        window = self.cfg.layer_sliding_window(layer_idx)
+        if self.use_pallas:
+            from ..ops.paged_attention_kernel import paged_attention
+            out = paged_attention(
+                q, cache.k[layer_idx], cache.v[layer_idx], md,
+                scale=self.scale, sliding_window=window, sinks=sinks,
+                logit_softcap=self.cfg.attn_logit_softcap,
+                interpret=bool(envs.PALLAS_INTERPRET))
+        else:
+            out = paged_attention_ref(
+                q, cache.k[layer_idx], cache.v[layer_idx], md,
+                scale=self.scale, sliding_window=window, sinks=sinks,
+                logit_softcap=self.cfg.attn_logit_softcap)
+        return out, cache
+
+    def make_attn_fn(self, cache: PagedKVCache, md: AttentionMetadata,
+                     sinks_per_layer: Optional[list] = None
+                     ) -> tuple[Callable, Callable[[], PagedKVCache]]:
+        """Returns (attn_fn for model.forward, getter for updated cache)."""
+        cell = [cache]
+
+        def attn_fn(layer_idx, q, k, v):
+            sinks = (sinks_per_layer[layer_idx]
+                     if sinks_per_layer is not None else None)
+            out, cell[0] = self.attend(layer_idx, q, k, v, cell[0], md, sinks)
+            return out
+
+        return attn_fn, lambda: cell[0]

@@ -1,0 +1,141 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Model runner: jitted forward+sample step over bucketed batches.
+
+Role of the reference's ``MetalModelRunner``
+(``/root/reference/vllm_metal/v1/model_runner.py:266``), redesigned for XLA:
+instead of a shape-flexible lazy graph, batches are padded to (token, seq)
+buckets and one compiled program per bucket is cached.  KV pools are donated
+through the step so updates are in-place in HBM; sampling runs on device and
+only the sampled ids / logprobs cross to host (the async analogue of the
+reference's ``execute_model``/``sample_tokens`` split, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attention.backend import PagedAttentionBackend
+from ..attention.kv_cache import PagedKVCache
+from ..attention.metadata import AttentionMetadata, build_metadata
+from ..config import EngineConfig
+from .sampler import SamplingTensors, sample
+from .sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SeqStepInput:
+    """One sequence's slice of a step (host side)."""
+
+    query_tokens: list[int]          # new tokens this step
+    context_len: int                 # total KV len incl. these tokens
+    block_table: list[int]
+    params: SamplingParams
+    recent_tokens: list[int] = field(default_factory=list)
+    sample_needed: bool = True       # False for incomplete prefill chunks
+
+
+@dataclass
+class StepOutput:
+    token_ids: np.ndarray            # [num_seqs] sampled ids (valid where
+    logprobs: np.ndarray             # sample_needed)
+    logits: Any = None               # [num_seqs, V] device array (lazy)
+
+
+class ModelRunner:
+    def __init__(self, model: Any, weights: Any, cfg: EngineConfig,
+                 cache: Optional[PagedKVCache] = None,
+                 num_blocks: Optional[int] = None,
+                 use_pallas: Optional[bool] = None):
+        self.model = model
+        self.weights = weights
+        self.cfg = cfg
+        self.backend = PagedAttentionBackend(cfg.model, use_pallas=use_pallas)
+        if cache is None:
+            assert num_blocks is not None
+            cache = PagedKVCache.allocate(
+                cfg.model, cfg.cache, num_blocks,
+                dtype=jnp.bfloat16 if cfg.cache.cache_dtype == "bfloat16"
+                else jnp.float32)
+        self.cache = cache
+        self.max_blocks_per_seq = max(
+            1, cfg.model.max_model_len // cfg.cache.block_size)
+        self.step_counter = 0
+        self._compiled: dict[tuple[int, int], Any] = {}
+
+    # ------------------------------------------------------------------
+    def _token_bucket(self, n: int) -> int:
+        for b in self.cfg.scheduler.token_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"{n} tokens exceeds the largest bucket "
+            f"{self.cfg.scheduler.token_buckets[-1]}")
+
+    def _step_fn(self):
+        """The jitted device step (cached per runner)."""
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(weights, cache: PagedKVCache, token_ids: jax.Array,
+                 md: AttentionMetadata, st: SamplingTensors,
+                 step_idx: jax.Array):
+            attn_fn, get_cache = self.backend.make_attn_fn(cache, md)
+            hidden = self.model.forward_hidden(
+                weights, token_ids, md.positions, attn_fn)
+            rows = jnp.clip(md.query_start_loc[1:] - 1, 0, hidden.shape[0] - 1)
+            logits = self.model.logits(weights, hidden[rows])
+            tokens, logprobs = sample(logits, st, step_idx)
+            return tokens, logprobs, logits, get_cache()
+
+        return step
+
+    # ------------------------------------------------------------------
+    def execute(self, seqs: list[SeqStepInput]) -> StepOutput:
+        """Run one engine step for the given packed batch."""
+        assert seqs, "empty step"
+        s_pad = self.cfg.scheduler.max_num_seqs
+        total_tokens = sum(len(s.query_tokens) for s in seqs)
+        t_pad = self._token_bucket(total_tokens)
+
+        md = build_metadata(
+            query_lens=[len(s.query_tokens) for s in seqs],
+            context_lens=[s.context_len for s in seqs],
+            block_tables=[s.block_table for s in seqs],
+            block_size=self.cfg.cache.block_size,
+            token_pad=t_pad,
+            seq_pad=s_pad,
+            max_blocks_per_seq=self.max_blocks_per_seq,
+        )
+        flat_tokens = np.zeros((t_pad,), np.int32)
+        t = 0
+        for s in seqs:
+            flat_tokens[t:t + len(s.query_tokens)] = s.query_tokens
+            t += len(s.query_tokens)
+
+        window = 64
+        recent = np.full((s_pad, window), -1, np.int32)
+        for i, s in enumerate(seqs):
+            r = s.recent_tokens[-window:]
+            if r:
+                recent[i, :len(r)] = r
+        st = SamplingTensors.from_lists(
+            [s.params for s in seqs], s_pad, recent_tokens=recent)
+
+        if not hasattr(self, "_step"):
+            self._step = self._step_fn()
+        tokens, logprobs, logits, self.cache = self._step(
+            self.weights, self.cache, jnp.asarray(flat_tokens), md, st,
+            jnp.asarray(self.step_counter, jnp.int32))
+        self.step_counter += 1
+        n = len(seqs)
+        return StepOutput(token_ids=np.asarray(tokens)[:n],
+                          logprobs=np.asarray(logprobs)[:n],
+                          logits=logits[:n])
