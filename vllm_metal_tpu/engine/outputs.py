@@ -1,0 +1,19 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Engine step outputs delivered to callers (server / offline API)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class RequestOutput:
+    request_id: str
+    new_token_ids: list[int]
+    finished: bool
+    finish_reason: Optional[str] = None      # "stop" | "length" | "abort"
+    token_ids: list[int] = field(default_factory=list)  # all output tokens
+    logprobs: Optional[list[float]] = None
+    num_prompt_tokens: int = 0
+    num_cached_tokens: int = 0
