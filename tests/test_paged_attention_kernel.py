@@ -1,0 +1,139 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Pallas unified paged attention kernel vs jnp reference (interpret mode).
+
+Reference test model: tier-2 kernel-contract tests (SURVEY.md §4) —
+synthetic tensors, oracle = paged_attention_ref.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vllm_metal_tpu.attention.metadata import build_metadata
+from vllm_metal_tpu.ops.paged_attention import paged_attention_ref
+from vllm_metal_tpu.ops.paged_attention_kernel import paged_attention
+
+
+def setup_case(query_lens, context_lens, *, qh=4, kvh=2, d=128, bs=32,
+               nb=32, seed=0, token_pad=None, seq_pad=None, mb=8):
+    rng = np.random.default_rng(seed)
+    s = len(query_lens)
+    seq_pad = seq_pad or max(4, s)
+    total = sum(query_lens)
+    token_pad = token_pad or max(8, -(-total // 8) * 8)
+    # assign disjoint block tables
+    tables = []
+    nxt = 1
+    for cl in context_lens:
+        nblk = -(-cl // bs)
+        tables.append(list(range(nxt, nxt + nblk)))
+        nxt += nblk
+    assert nxt <= nb
+    md = build_metadata(
+        query_lens=query_lens, context_lens=context_lens,
+        block_tables=tables, block_size=bs, token_pad=token_pad,
+        seq_pad=seq_pad, max_blocks_per_seq=mb)
+
+    k_cache = jnp.asarray(rng.standard_normal((kvh, nb, bs, d)),
+                          dtype=jnp.float32).astype(jnp.bfloat16)
+    v_cache = jnp.asarray(rng.standard_normal((kvh, nb, bs, d)),
+                          dtype=jnp.float32).astype(jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((token_pad, qh, d)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    return q, k_cache, v_cache, md, total
+
+
+def run_both(q, k, v, md, **kw):
+    want = paged_attention_ref(q, k, v, md, **kw)
+    got = paged_attention(q, k, v, md, interpret=True, **kw)
+    return got, want
+
+
+def check(got, want, total, atol=0.02):
+    got = np.asarray(got, np.float32)[:total]
+    want = np.asarray(want, np.float32)[:total]
+    np.testing.assert_allclose(got, want, atol=atol, rtol=0.02)
+
+
+@pytest.mark.parametrize("case", [
+    ([1], [7]),                       # single decode
+    ([1, 1, 1], [5, 33, 64]),         # decode batch, varied ctx
+    ([12], [12]),                     # small prefill
+    ([40], [40]),                     # prefill crossing block boundary
+])
+def test_kernel_matches_reference_basic(case):
+    q, k, v, md, total = setup_case(*case)
+    got, want = run_both(q, k, v, md)
+    check(got, want, total)
+
+
+def test_kernel_mixed_batch():
+    q, k, v, md, total = setup_case(
+        [1, 1, 20, 7], [9, 45, 20, 30], token_pad=32)
+    got, want = run_both(q, k, v, md)
+    check(got, want, total)
+
+
+def test_kernel_long_prefill_multi_item():
+    # query length > BQ(128): multiple work items per seq
+    q, k, v, md, total = setup_case([150], [150], bs=32, nb=16,
+                                    token_pad=152, mb=8)
+    got, want = run_both(q, k, v, md)
+    check(got, want, total)
+
+
+def test_kernel_prefill_continuation():
+    # chunked prefill: 20 new tokens on top of 90 cached
+    q, k, v, md, total = setup_case([20], [110], bs=32, nb=16, mb=8)
+    got, want = run_both(q, k, v, md)
+    check(got, want, total)
+
+
+def test_kernel_gqa_group_sizes():
+    for qh, kvh in [(4, 4), (8, 2), (8, 1)]:
+        q, k, v, md, total = setup_case([1, 9], [40, 9], qh=qh, kvh=kvh,
+                                        seed=qh)
+        got, want = run_both(q, k, v, md)
+        check(got, want, total)
+
+
+def test_kernel_sliding_window():
+    q, k, v, md, total = setup_case([1, 17], [70, 30], bs=32)
+    got, want = run_both(q, k, v, md, sliding_window=24)
+    check(got, want, total)
+
+
+def test_kernel_sliding_window_tile_skip():
+    # context far beyond the window: start-tile skip must not change results
+    q, k, v, md, total = setup_case([1], [200], bs=32, nb=16, mb=8)
+    got, want = run_both(q, k, v, md, sliding_window=16)
+    check(got, want, total)
+
+
+def test_kernel_softcap():
+    q, k, v, md, total = setup_case([5, 1], [5, 22])
+    got, want = run_both(q, k, v, md, logit_softcap=30.0)
+    check(got, want, total)
+
+
+def test_kernel_sinks():
+    qh = 4
+    q, k, v, md, total = setup_case([3, 1], [10, 15], qh=qh)
+    sinks = jnp.asarray(np.random.default_rng(9).standard_normal(qh),
+                        dtype=jnp.float32)
+    got, want = run_both(q, k, v, md, sinks=sinks)
+    check(got, want, total)
+
+
+def test_kernel_scale_override():
+    q, k, v, md, total = setup_case([4], [4])
+    got, want = run_both(q, k, v, md, scale=0.05)
+    check(got, want, total)
+
+
+@pytest.mark.parametrize("bs", [16, 64, 128])
+def test_kernel_block_sizes(bs):
+    q, k, v, md, total = setup_case([1, 10], [33, 10], bs=bs, nb=16, mb=16)
+    got, want = run_both(q, k, v, md)
+    check(got, want, total)

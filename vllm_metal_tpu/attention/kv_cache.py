@@ -2,12 +2,13 @@
 """Paged KV-cache block pool.
 
 TPU-native analogue of ``MetalPagedKVCache``
-(``/root/reference/vllm_metal/attention/caches/kv_cache.py:35``): per-layer
-K/V pools of shape ``[num_blocks, block_size, kv_heads, head_dim]``, stacked
-over layers into single arrays so one scatter/gather indexes any layer and
-the whole pool shards over the TP mesh on the kv_heads axis.  Updates are
-functional — jit donation makes them in-place in HBM (the reference gets the
-same effect from MLX primitive aliasing, ``paged_ops.cpp:846``).
+(``/root/reference/vllm_metal/attention/caches/kv_cache.py:35``).  Layout is
+``[layers, kv_heads, num_blocks, block_size, head_dim]`` — kv_heads leading
+so (a) each (layer, head) pool is contiguous for the attention kernel's
+per-head block DMAs and (b) tensor parallelism shards the whole pool on one
+axis with a single PartitionSpec.  Updates are functional; jit donation makes
+them in-place in HBM (the reference gets the same effect from MLX primitive
+aliasing, ``paged_ops.cpp:846``).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from ..utils import static_dataclass
 
 @static_dataclass(meta_fields=("block_size",))
 class PagedKVCache:
-    """Stacked pools. k/v: [L, num_blocks, block_size, kv_heads, head_dim]."""
+    """k/v: [L, kv_heads, num_blocks, block_size, head_dim]."""
 
     k: jax.Array
     v: jax.Array
@@ -32,36 +33,44 @@ class PagedKVCache:
         return self.k.shape[0]
 
     @property
-    def num_blocks(self) -> int:
+    def num_kv_heads(self) -> int:
         return self.k.shape[1]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def head_dim(self) -> int:
+        return self.k.shape[4]
 
     @classmethod
     def allocate(cls, model_cfg: ModelConfig, cache_cfg: CacheConfig,
                  num_blocks: int, dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (model_cfg.num_layers, num_blocks, cache_cfg.block_size,
-                 model_cfg.num_kv_heads, model_cfg.head_dim)
+        shape = (model_cfg.num_layers, model_cfg.num_kv_heads, num_blocks,
+                 cache_cfg.block_size, model_cfg.head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    block_size=cache_cfg.block_size)
 
     def write(self, layer_idx: int, k: jax.Array, v: jax.Array,
               slot_mapping: jax.Array) -> "PagedKVCache":
-        """Scatter new K/V rows ([T, kv_heads, head_dim]) into layer's pool.
+        """Scatter new K/V rows ([T, kv_heads, head_dim]) into the pool.
 
         Pad tokens carry slot -1; scatter mode='drop' discards them (the
         fused-scatter analogue of the reference's ``reshape_and_cache``,
         ``/root/reference/vllm_metal/metal/reshape_and_cache.metal:99``).
         """
-        nb, bs = self.num_blocks, self.block_size
-        flat_shape = (nb * bs,) + self.k.shape[3:]
-        kl = self.k[layer_idx].reshape(flat_shape)
-        vl = self.v[layer_idx].reshape(flat_shape)
-        kl = kl.at[slot_mapping].set(k.astype(kl.dtype), mode="drop")
-        vl = vl.at[slot_mapping].set(v.astype(vl.dtype), mode="drop")
-        new_k = self.k.at[layer_idx].set(kl.reshape(self.k.shape[1:]))
-        new_v = self.v.at[layer_idx].set(vl.reshape(self.v.shape[1:]))
+        l, kh, nb, bs, d = self.k.shape
+        kl = self.k[layer_idx].reshape(kh, nb * bs, d)
+        vl = self.v[layer_idx].reshape(kh, nb * bs, d)
+        kt = k.astype(kl.dtype).transpose(1, 0, 2)      # [kh, T, d]
+        vt = v.astype(vl.dtype).transpose(1, 0, 2)
+        kl = kl.at[:, slot_mapping].set(kt, mode="drop")
+        vl = vl.at[:, slot_mapping].set(vt, mode="drop")
+        new_k = self.k.at[layer_idx].set(kl.reshape(kh, nb, bs, d))
+        new_v = self.v.at[layer_idx].set(vl.reshape(kh, nb, bs, d))
         return PagedKVCache(k=new_k, v=new_v, block_size=self.block_size)
 
     def bytes_per_block(self) -> int:
-        per = (self.block_size * self.k.shape[3] * self.k.shape[4]
-               * self.k.dtype.itemsize)
-        return 2 * per * self.num_layers
+        l, kh, nb, bs, d = self.k.shape
+        return 2 * l * kh * bs * d * self.k.dtype.itemsize

@@ -19,6 +19,9 @@ import numpy as np
 from ..utils import static_dataclass
 
 
+KERNEL_BQ = 128  # query rows per kernel work item (ops/paged_attention_kernel)
+
+
 @static_dataclass(meta_fields=("max_num_seqs", "max_blocks_per_seq"))
 class AttentionMetadata:
     """All int32. ``T`` = padded token count, ``S`` = padded seq count.
@@ -45,6 +48,8 @@ class AttentionMetadata:
     num_seqs: jax.Array
     # [] actual (unpadded) number of tokens.
     num_tokens: jax.Array
+    # [ceil(T / KERNEL_BQ)] first sequence overlapping each kernel q tile.
+    tile_first_seq: jax.Array
     max_num_seqs: int = 0
     max_blocks_per_seq: int = 0
 
@@ -95,6 +100,12 @@ def build_metadata(
         qsl[i + 1] = t
     qsl[s + 1:] = t
 
+    n_tiles = -(-token_pad // KERNEL_BQ)
+    tile_first_seq = np.full((n_tiles,), s, np.int32)
+    for ti in range(n_tiles):
+        if ti * KERNEL_BQ < total:
+            tile_first_seq[ti] = token_seq_ids[ti * KERNEL_BQ]
+
     return AttentionMetadata(
         slot_mapping=jax.numpy.asarray(slot_mapping),
         block_tables=jax.numpy.asarray(bt),
@@ -105,6 +116,7 @@ def build_metadata(
         positions=jax.numpy.asarray(positions),
         num_seqs=jax.numpy.asarray(s, jax.numpy.int32),
         num_tokens=jax.numpy.asarray(total, jax.numpy.int32),
+        tile_first_seq=jax.numpy.asarray(tile_first_seq),
         max_num_seqs=seq_pad,
         max_blocks_per_seq=max_blocks_per_seq,
     )

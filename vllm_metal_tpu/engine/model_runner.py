@@ -54,10 +54,11 @@ class ModelRunner:
     def __init__(self, model: Any, weights: Any, cfg: EngineConfig,
                  cache: Optional[PagedKVCache] = None,
                  num_blocks: Optional[int] = None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 mesh: Optional[Any] = None):
         self.model = model
-        self.weights = weights
         self.cfg = cfg
+        self.mesh = mesh
         self.backend = PagedAttentionBackend(cfg.model, use_pallas=use_pallas)
         if cache is None:
             assert num_blocks is not None
@@ -65,6 +66,20 @@ class ModelRunner:
                 cfg.model, cfg.cache, num_blocks,
                 dtype=jnp.bfloat16 if cfg.cache.cache_dtype == "bfloat16"
                 else jnp.float32)
+        if mesh is not None:
+            from ..parallel.shardings import (
+                TPContext, shard_cache, shard_weights)
+            tp = mesh.shape[cfg.parallel.tp_axis]
+            mc = cfg.model
+            if mc.num_heads % tp or mc.num_kv_heads % tp:
+                raise ValueError(
+                    f"heads ({mc.num_heads}/{mc.num_kv_heads}) must divide "
+                    f"tp={tp}")
+            if not getattr(model.tp, "enabled", False):
+                model.tp = TPContext(cfg.parallel.tp_axis, tp)
+            weights = shard_weights(weights, mesh)
+            cache = shard_cache(cache, mesh)
+        self.weights = weights
         self.cache = cache
         self.max_blocks_per_seq = max(
             1, cfg.model.max_model_len // cfg.cache.block_size)
@@ -81,9 +96,14 @@ class ModelRunner:
             f"{self.cfg.scheduler.token_buckets[-1]}")
 
     def _step_fn(self):
-        """The jitted device step (cached per runner)."""
+        """The jitted device step (cached per runner).
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        Under TP the whole step runs inside shard_map: each chip holds its
+        weight/KV shards, the model's TPContext inserts the Megatron
+        collectives, and sampling is computed replicated (bitwise identical
+        on every chip, so the host can read from any shard).
+        """
+
         def step(weights, cache: PagedKVCache, token_ids: jax.Array,
                  md: AttentionMetadata, st: SamplingTensors,
                  step_idx: jax.Array):
@@ -95,7 +115,22 @@ class ModelRunner:
             tokens, logprobs = sample(logits, st, step_idx)
             return tokens, logprobs, logits, get_cache()
 
-        return step
+        if self.mesh is None:
+            return functools.partial(jax.jit, donate_argnums=(1,))(step)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.shardings import cache_pspec, weight_pspecs
+
+        w_specs = weight_pspecs(self.weights)
+        c_specs = jax.tree.map(lambda _: cache_pspec(), self.cache)
+        # P() prefixes broadcast over the md / sampling pytrees (replicated)
+        sharded = shard_map(
+            step, mesh=self.mesh,
+            in_specs=(w_specs, c_specs, P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), c_specs),
+            check_vma=False)
+        return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
     # ------------------------------------------------------------------
     def execute(self, seqs: list[SeqStepInput]) -> StepOutput:

@@ -35,8 +35,8 @@ class GemmaLayerWeights(LlamaLayerWeights):
 class GemmaModel(LlamaModel):
     """Gemma: rms offset=1, scaled embeddings, sandwich norms, gelu MLP."""
 
-    def __init__(self, cfg: ModelConfig):
-        super().__init__(cfg)
+    def __init__(self, cfg: ModelConfig, tp=None):
+        super().__init__(cfg, tp)
         # Gemma RoPE: local (sliding) layers may use a different theta.
         local_theta = cfg.extra.get("rope_local_theta")
         self.local_inv_freq = (
@@ -65,9 +65,9 @@ class GemmaModel(LlamaModel):
         q = linear(h, lw.wq)
         k = linear(h, lw.wk)
         v = linear(h, lw.wv)
-        q = q.reshape(t, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(t, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(t, cfg.num_kv_heads, cfg.head_dim)
+        q = q.reshape(t, -1, cfg.head_dim)
+        k = k.reshape(t, -1, cfg.head_dim)
+        v = v.reshape(t, -1, cfg.head_dim)
         if lw.q_norm is not None:
             q = rms_norm(q, lw.q_norm, cfg.rms_norm_eps, offset=1.0)
             k = rms_norm(k, lw.k_norm, cfg.rms_norm_eps, offset=1.0)
@@ -80,14 +80,14 @@ class GemmaModel(LlamaModel):
     def layer_post_attn(self, lw, x, attn_out):
         t = x.shape[0]
         cfg = self.cfg
-        a = linear(attn_out.reshape(t, -1), lw.wo)
+        a = self.tp.reduce(linear(attn_out.reshape(t, -1), lw.wo))
         if getattr(lw, "post_attn_norm", None) is not None:
             a = rms_norm(a, lw.post_attn_norm, cfg.rms_norm_eps, offset=1.0)
         x = x + a
         h = rms_norm(x, lw.mlp_norm, cfg.rms_norm_eps, offset=1.0)
         y = self.act(linear(h, lw.gate).astype(jnp.float32)).astype(h.dtype) \
             * linear(h, lw.up)
-        m = linear(y, lw.down)
+        m = self.tp.reduce(linear(y, lw.down))
         if getattr(lw, "post_ffn_norm", None) is not None:
             m = rms_norm(m, lw.post_ffn_norm, cfg.rms_norm_eps, offset=1.0)
         return x + m

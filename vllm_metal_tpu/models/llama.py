@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.quant_matmul import QuantLinear, linear
+from ..parallel.shardings import TPContext
 from ..utils import static_dataclass
 from .common import activation, apply_rope, embed_lookup, rms_norm, \
     rope_frequencies
@@ -58,8 +59,9 @@ class LlamaWeights:
 class LlamaModel:
     """Stateless model: all state (weights, KV) is passed explicitly."""
 
-    def __init__(self, cfg: ModelConfig):
+    def __init__(self, cfg: ModelConfig, tp: Optional[TPContext] = None):
         self.cfg = cfg
+        self.tp = tp or TPContext()
         self.inv_freq = rope_frequencies(
             cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
         self.act = activation(cfg.hidden_act)
@@ -99,7 +101,8 @@ class LlamaModel:
 
     # -- forward ------------------------------------------------------------
     def embed(self, weights: LlamaWeights, token_ids: jax.Array) -> jax.Array:
-        x = embed_lookup(weights.embedding, token_ids)
+        x = self.tp.embed(weights.embedding, token_ids, embed_lookup,
+                          self.cfg.vocab_size)
         if self.cfg.scale_embeddings:
             x = x * jnp.asarray(self.cfg.hidden_size ** 0.5, x.dtype)
         return x
@@ -117,9 +120,10 @@ class LlamaModel:
             q = q + lw.bq.astype(q.dtype)
             k = k + lw.bk.astype(k.dtype)
             v = v + lw.bv.astype(v.dtype)
-        q = q.reshape(t, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(t, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(t, cfg.num_kv_heads, cfg.head_dim)
+        # -1: head counts are per-shard under tensor parallelism
+        q = q.reshape(t, -1, cfg.head_dim)
+        k = k.reshape(t, -1, cfg.head_dim)
+        v = v.reshape(t, -1, cfg.head_dim)
         if lw.q_norm is not None:
             q = rms_norm(q, lw.q_norm, cfg.rms_norm_eps)
             k = rms_norm(k, lw.k_norm, cfg.rms_norm_eps)
@@ -131,11 +135,11 @@ class LlamaModel:
                         attn_out: jax.Array) -> jax.Array:
         """Residual add + MLP for one layer. attn_out: [T, Hq, D]."""
         t = x.shape[0]
-        x = x + linear(attn_out.reshape(t, -1), lw.wo)
+        x = x + self.tp.reduce(linear(attn_out.reshape(t, -1), lw.wo))
         h = rms_norm(x, lw.mlp_norm, self.cfg.rms_norm_eps)
         y = self.act(linear(h, lw.gate).astype(jnp.float32)).astype(h.dtype) \
             * linear(h, lw.up)
-        return x + linear(y, lw.down)
+        return x + self.tp.reduce(linear(y, lw.down))
 
     def forward_hidden(self, weights: LlamaWeights, token_ids: jax.Array,
                        positions: jax.Array, attn_fn: AttnFn) -> jax.Array:
@@ -150,7 +154,7 @@ class LlamaModel:
     def logits(self, weights: LlamaWeights, hidden: jax.Array) -> jax.Array:
         head = weights.lm_head if weights.lm_head is not None \
             else weights.embedding
-        out = linear(hidden, head, out_dtype=jnp.float32)
+        out = self.tp.gather_logits(linear(hidden, head, out_dtype=jnp.float32))
         if self.cfg.logit_softcap:
             c = self.cfg.logit_softcap
             out = jnp.tanh(out / c) * c

@@ -26,7 +26,7 @@ from ..attention.metadata import AttentionMetadata
 
 def paged_attention_ref(
     q: jax.Array,                 # [T, q_heads, head_dim]
-    k_cache: jax.Array,           # [num_blocks, block_size, kv_heads, hd]
+    k_cache: jax.Array,           # [kv_heads, num_blocks, block_size, hd]
     v_cache: jax.Array,
     md: AttentionMetadata,
     *,
@@ -36,7 +36,7 @@ def paged_attention_ref(
     logit_softcap: Optional[float] = None,
 ) -> jax.Array:
     t, qh, d = q.shape
-    nb, bs, kh, _ = k_cache.shape
+    kh, nb, bs, _ = k_cache.shape
     rep = qh // kh
     if scale is None:
         scale = d ** -0.5
@@ -44,12 +44,12 @@ def paged_attention_ref(
 
     # Gather each token's sequence KV: [T, max_kv, kh, d]
     tables = md.block_tables[md.token_seq_ids]          # [T, MB]
-    flat_k = k_cache.reshape(nb * bs, kh, d)
-    flat_v = v_cache.reshape(nb * bs, kh, d)
+    flat_k = k_cache.reshape(kh, nb * bs, d)
+    flat_v = v_cache.reshape(kh, nb * bs, d)
     slot_idx = (tables[:, :, None] * bs
                 + jnp.arange(bs)[None, None, :]).reshape(t, max_kv)
-    keys = flat_k[slot_idx]                              # [T, max_kv, kh, d]
-    vals = flat_v[slot_idx]
+    keys = flat_k[:, slot_idx].transpose(1, 2, 0, 3)     # [T, max_kv, kh, d]
+    vals = flat_v[:, slot_idx].transpose(1, 2, 0, 3)
 
     qf = q.astype(jnp.float32)
     kf = keys.astype(jnp.float32)

@@ -1,0 +1,119 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Weight/cache partition specs and the in-forward TP context.
+
+Megatron-style sharding compiled by XLA over ICI: attention and MLP first
+projections are column-parallel (heads/FFN sharded), output projections are
+row-parallel followed by ``psum``; embedding and lm_head shard the vocab.
+The paged KV pool shards on its kv_heads axis, so paged attention itself
+needs no communication — only the two psums per layer plus one logits
+all-gather cross chips (these are the "collectives overlapped with decode"
+from BASELINE.md: XLA's latency-hiding scheduler overlaps them with the
+next layer's compute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# linear-weight roles
+_COLUMN = ("wq", "wk", "wv", "gate", "up")          # shard out_features
+_ROW = ("wo", "down")                               # shard in_features
+_VOCAB = ("embedding", "lm_head")                   # shard vocab rows
+_SHARD_VEC = ("bq", "bk", "bv", "sinks")            # 1-D sharded vectors
+
+
+def _linear_spec(role: str, field: str) -> P:
+    if role in _COLUMN or role in _VOCAB:
+        return P("model", None)
+    if role in _ROW:
+        return P(None, "model")
+    return P()
+
+
+def weight_pspecs(weights: Any) -> Any:
+    """Same-structure pytree of PartitionSpec for a model weight tree."""
+
+    def spec_for_path(path, leaf) -> P:
+        names = [p.name for p in path if hasattr(p, "name")]
+        role = None
+        for n in names:
+            if n in _COLUMN + _ROW + _VOCAB:
+                role = n
+        if role is not None:
+            return _linear_spec(role, names[-1])
+        if names and names[-1] in _SHARD_VEC:
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for_path, weights)
+
+
+def cache_pspec() -> P:
+    # [L, kv_heads, num_blocks, block_size, head_dim]
+    return P(None, "model", None, None, None)
+
+
+def shard_weights(weights: Any, mesh: Mesh) -> Any:
+    specs = weight_pspecs(weights)
+    return jax.tree.map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
+        weights, specs)
+
+
+def shard_cache(cache: Any, mesh: Mesh) -> Any:
+    spec = cache_pspec()
+    return dataclasses.replace(
+        cache,
+        k=jax.device_put(cache.k, NamedSharding(mesh, spec)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, spec)))
+
+
+class TPContext:
+    """Collective hooks the model forward calls; identity when tp == 1.
+
+    Inside ``shard_map`` the model sees *local* shards; these hooks insert
+    the Megatron collectives.
+    """
+
+    def __init__(self, axis: Optional[str] = None, tp: int = 1):
+        self.axis = axis
+        self.tp = tp
+
+    @property
+    def enabled(self) -> bool:
+        return self.axis is not None and self.tp > 1
+
+    def reduce(self, x: jax.Array) -> jax.Array:
+        """Row-parallel output reduction (after wo / down projections)."""
+        if not self.enabled:
+            return x
+        return jax.lax.psum(x, self.axis)
+
+    def shard_index(self) -> jax.Array:
+        return jax.lax.axis_index(self.axis) if self.enabled else jnp.int32(0)
+
+    def embed(self, table, ids: jax.Array, embed_fn, vocab_size: int
+              ) -> jax.Array:
+        """Vocab-sharded embedding gather: local masked lookup + psum."""
+        if not self.enabled:
+            return embed_fn(table, ids)
+        local_v = table.w.shape[0]
+        offset = self.shard_index() * local_v
+        local_ids = ids - offset
+        valid = (local_ids >= 0) & (local_ids < local_v)
+        safe = jnp.clip(local_ids, 0, local_v - 1)
+        emb = embed_fn(table, safe)
+        emb = jnp.where(valid[:, None], emb, 0)
+        return jax.lax.psum(emb, self.axis)
+
+    def gather_logits(self, local_logits: jax.Array) -> jax.Array:
+        """[S, V/tp] -> [S, V] (vocab-sharded lm_head)."""
+        if not self.enabled:
+            return local_logits
+        return jax.lax.all_gather(
+            local_logits, self.axis, axis=local_logits.ndim - 1, tiled=True)
