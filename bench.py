@@ -1,0 +1,218 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Serving benchmark: Llama-3-8B-shaped Q4 decode throughput vs HBM roofline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+where vs_baseline is the fraction of the HBM-bandwidth roofline achieved
+(BASELINE.json north star: >= 0.85).  All diagnostics go to stderr.
+
+Weights are synthetic (random packed q4 + fp16 group scales) — identical
+memory traffic and compute to a real GGUF Q4_K checkpoint, so the perf
+numbers transfer; correctness is covered by the test suite's exact-repack
+and golden parity tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_q4(key, n, k, dtype=jnp.float16):
+    from vllm_metal_tpu.ops.quant_matmul import QuantLinear
+    k1, k2, k3 = jax.random.split(key, 3)
+    packed = jax.random.randint(k1, (n, k // 2), 0, 255, jnp.int32
+                                ).astype(jnp.uint8)
+    scales = (jax.random.uniform(k2, (n, k // 32), jnp.float32) * 0.01
+              ).astype(dtype)
+    biases = (jax.random.uniform(k3, (n, k // 32), jnp.float32) * -0.08
+              ).astype(dtype)
+    return QuantLinear(kind="q4", w=packed, scales=scales, biases=biases,
+                       group_size=32)
+
+
+def build_model(preset: str):
+    from vllm_metal_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, SchedulerConfig)
+    from vllm_metal_tpu.models.llama import (
+        LlamaLayerWeights, LlamaModel, LlamaWeights)
+
+    if preset == "llama3-8b":
+        mc = ModelConfig(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=500000.0, max_model_len=8192, architecture="llama3")
+    elif preset == "qwen3-0.6b-ish":
+        mc = ModelConfig(
+            vocab_size=151680, hidden_size=1024, intermediate_size=3072,
+            num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128,
+            max_model_len=8192, qk_norm=True)
+    else:  # tiny (CPU smoke)
+        mc = ModelConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+            max_model_len=512)
+
+    cfg = EngineConfig(
+        model=mc, cache=CacheConfig(block_size=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=64, max_num_batched_tokens=2048,
+            token_buckets=(64, 128, 256, 512, 1024, 2048)))
+
+    key = jax.random.PRNGKey(0)
+    keys = iter(jax.random.split(key, 16 * mc.num_layers + 8))
+    h = mc.hidden_size
+    layers = []
+    for _ in range(mc.num_layers):
+        layers.append(LlamaLayerWeights(
+            attn_norm=jnp.ones((h,), jnp.bfloat16),
+            wq=make_q4(next(keys), mc.q_dim, h),
+            wk=make_q4(next(keys), mc.kv_dim, h),
+            wv=make_q4(next(keys), mc.kv_dim, h),
+            wo=make_q4(next(keys), h, mc.q_dim),
+            mlp_norm=jnp.ones((h,), jnp.bfloat16),
+            gate=make_q4(next(keys), mc.intermediate_size, h),
+            up=make_q4(next(keys), mc.intermediate_size, h),
+            down=make_q4(next(keys), h, mc.intermediate_size),
+            q_norm=jnp.ones((mc.head_dim,), jnp.bfloat16) if mc.qk_norm
+            else None,
+            k_norm=jnp.ones((mc.head_dim,), jnp.bfloat16) if mc.qk_norm
+            else None,
+        ))
+    weights = LlamaWeights(
+        embedding=make_q4(next(keys), mc.vocab_size, h),
+        layers=layers,
+        final_norm=jnp.ones((h,), jnp.bfloat16),
+        lm_head=make_q4(next(keys), mc.vocab_size, h),
+    )
+    model = LlamaModel(mc)
+    return model, weights, cfg
+
+
+def weight_bytes(weights) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree.leaves(weights))
+
+
+def bench_decode(runner, cfg, batch: int, ctx: int, steps: int):
+    from vllm_metal_tpu.engine.model_runner import SeqStepInput
+    from vllm_metal_tpu.engine.sampling_params import SamplingParams
+
+    bs = cfg.cache.block_size
+    blocks_per_seq = -(-(ctx + steps + 1) // bs)
+    params = SamplingParams(temperature=0.0)
+    tables = [list(range(1 + i * blocks_per_seq,
+                         1 + (i + 1) * blocks_per_seq))
+              for i in range(batch)]
+
+    def decode_step(cl):
+        return [SeqStepInput(query_tokens=[7], context_len=cl + 1,
+                             block_table=tables[i], params=params)
+                for i in range(batch)]
+
+    # warm up / compile
+    runner.execute(decode_step(ctx))
+    out = runner.execute(decode_step(ctx + 1))
+    np.asarray(out.token_ids)
+
+    t0 = time.perf_counter()
+    for s in range(steps):
+        out = runner.execute(decode_step(ctx + 2 + s))
+    np.asarray(out.token_ids)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt, dt / steps
+
+
+def bench_prefill(runner, cfg, prompt_len: int, iters: int = 4):
+    from vllm_metal_tpu.engine.model_runner import SeqStepInput
+    from vllm_metal_tpu.engine.sampling_params import SamplingParams
+    bs = cfg.cache.block_size
+    table = list(range(1, 1 + -(-prompt_len // bs)))
+    params = SamplingParams(temperature=0.0)
+    toks = [5] * prompt_len
+
+    def one():
+        return runner.execute([SeqStepInput(
+            query_tokens=toks, context_len=prompt_len, block_table=table,
+            params=params)])
+
+    np.asarray(one().token_ids)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = one()
+    np.asarray(out.token_ids)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default=None)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--hbm-gbps", type=float, default=819.0)  # v5e
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    preset = args.preset or ("llama3-8b" if on_tpu else "tiny")
+    if not on_tpu and preset == "tiny":
+        args.batch, args.ctx, args.steps = 2, 64, 4
+
+    from vllm_metal_tpu.engine.model_runner import ModelRunner
+
+    log(f"bench: preset={preset} backend={jax.default_backend()} "
+        f"batch={args.batch} ctx={args.ctx}")
+    t0 = time.perf_counter()
+    model, weights, cfg = build_model(preset)
+    wb = weight_bytes(weights)
+    log(f"weights built: {wb / 1e9:.2f} GB in {time.perf_counter() - t0:.1f}s")
+
+    mc = cfg.model
+    bs = cfg.cache.block_size
+    blocks_needed = args.batch * -(-(args.ctx + args.steps + 2) // bs) + 2
+    runner = ModelRunner(model, weights, cfg, num_blocks=blocks_needed)
+    kv_token_bytes = 2 * mc.num_layers * mc.num_kv_heads * mc.head_dim * 2
+    log(f"kv pool: {blocks_needed} blocks "
+        f"({blocks_needed * bs * kv_token_bytes / 1e9:.2f} GB)")
+
+    tput, step_time = bench_decode(runner, cfg, args.batch, args.ctx,
+                                   args.steps)
+    log(f"decode: {tput:.1f} tok/s, {step_time * 1e3:.2f} ms/step")
+
+    ttft = bench_prefill(runner, cfg, min(args.ctx, 1024))
+    log(f"prefill({min(args.ctx, 1024)}): {ttft * 1e3:.1f} ms")
+
+    # HBM roofline for this decode step
+    step_bytes = wb + args.batch * (args.ctx + args.steps // 2) \
+        * kv_token_bytes
+    roofline_step = step_bytes / (args.hbm_gbps * 1e9)
+    roofline_tput = args.batch / roofline_step
+    log(f"roofline: {roofline_tput:.1f} tok/s "
+        f"({step_bytes / 1e9:.2f} GB/step)")
+
+    print(json.dumps({
+        "metric": f"{preset}_q4_decode_b{args.batch}_ctx{args.ctx}",
+        "value": round(tput, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tput / roofline_tput, 4),
+        "extra": {
+            "step_ms": round(step_time * 1e3, 2),
+            "prefill_ms": round(ttft * 1e3, 1),
+            "roofline_tok_s": round(roofline_tput, 1),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
