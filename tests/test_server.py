@@ -1,0 +1,156 @@
+# SPDX-License-Identifier: Apache-2.0
+"""OpenAI server e2e over a tiny GGUF model (tokenizer included in-file)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from tests.gguf_writer import write_gguf
+from tests.test_llama_model import tiny_gguf
+from vllm_metal_tpu.engine.launcher import build_engine
+from vllm_metal_tpu.server.async_engine import AsyncEngine
+from vllm_metal_tpu.server.openai_server import OpenAIServer
+
+
+@pytest.fixture(scope="module")
+def gguf_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    tiny_gguf(path)
+    # splice a trivial gpt2-style tokenizer into the metadata
+    import struct
+    # easier: rewrite file with tokenizer metadata via the writer
+    from vllm_metal_tpu.gguf.reader import GGUFFile, GGMLType
+    from vllm_metal_tpu.gguf.quants import dequantize
+    f = GGUFFile(path)
+    tensors = {}
+    for name, info in f.tensors.items():
+        arr = dequantize(f.tensor_data(name), info.ggml_type, info.shape)
+        tensors[name] = (arr, GGMLType.F32)
+    vocab = [chr(48 + i) for i in range(62)] + ["<bos>", "<eos>"]
+    meta = dict(f.metadata)
+    meta.pop("general.alignment", None)
+    meta.update({
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": vocab,
+        "tokenizer.ggml.merges": [],
+        "tokenizer.ggml.eos_token_id": 63,
+        "tokenizer.ggml.bos_token_id": 62,
+    })
+    write_gguf(path, meta, tensors)
+    return path
+
+
+@pytest.fixture()
+def client_factory(gguf_path):
+    engine, tok = build_engine(gguf_path, num_blocks=32, block_size=16,
+                               max_num_seqs=4, max_num_batched_tokens=64,
+                               use_pallas=False)
+    engine.cfg.scheduler.token_buckets = (16, 32, 64)
+    async_engine = AsyncEngine(engine)
+    server = OpenAIServer(async_engine, tok, model_name="tiny")
+    return async_engine, server
+
+
+async def run_with_client(async_engine, server, fn):
+    async_engine.start(asyncio.get_running_loop())
+    client = TestClient(TestServer(server.app()))
+    await client.start_server()
+    try:
+        await fn(client)
+    finally:
+        await client.close()
+        async_engine.shutdown()
+
+
+def test_health_models_metrics(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.get("/health")
+        assert r.status == 200
+        r = await client.get("/v1/models")
+        data = await r.json()
+        assert data["data"][0]["id"] == "tiny"
+        r = await client.get("/metrics")
+        text = await r.text()
+        assert "vllm_metal_tpu_generation_tokens_total" in text
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_completions_token_prompt(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": [3, 5, 9, 2], "max_tokens": 4, "temperature": 0.0})
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "text_completion"
+        assert data["usage"]["prompt_tokens"] == 4
+        assert data["usage"]["completion_tokens"] >= 1
+        assert data["choices"][0]["finish_reason"] in ("stop", "length")
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_completions_text_prompt_and_stream(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "357", "max_tokens": 3, "temperature": 0.0,
+            "stream": True})
+        assert r.status == 200
+        body = await r.text()
+        events = [line for line in body.split("\n\n") if line.startswith("data: ")]
+        assert events[-1] == "data: [DONE]"
+        payloads = [json.loads(e[6:]) for e in events[:-1]]
+        assert all(p["object"] == "text_completion" for p in payloads)
+        assert payloads[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_chat_completions(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "95"}],
+            "max_tokens": 3, "temperature": 0.0})
+        assert r.status == 200
+        data = await r.json()
+        assert data["choices"][0]["message"]["role"] == "assistant"
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_tokenize_roundtrip(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/tokenize", json={"prompt": "1122"})
+        data = await r.json()
+        assert data["count"] >= 1
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_concurrent_requests(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        async def one(i):
+            r = await client.post("/v1/completions", json={
+                "prompt": [2 + i, 7, 11], "max_tokens": 3,
+                "temperature": 0.0})
+            return await r.json()
+        results = await asyncio.gather(*[one(i) for i in range(4)])
+        for d in results:
+            assert d["usage"]["completion_tokens"] >= 1
+
+    asyncio.run(run_with_client(ae, srv, fn))

@@ -1,0 +1,55 @@
+# SPDX-License-Identifier: Apache-2.0
+"""CLI: ``python -m vllm_metal_tpu serve model.gguf [--port 8000] ...``"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from . import envs
+
+
+def main() -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    ap = argparse.ArgumentParser(prog="vllm_metal_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("serve", help="start the OpenAI-compatible server")
+    s.add_argument("model", help="path to a .gguf checkpoint")
+    s.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer dir/id (default: GGUF-embedded)")
+    s.add_argument("--host", default=envs.HOST)
+    s.add_argument("--port", type=int, default=envs.PORT)
+    s.add_argument("--max-model-len", type=int, default=None)
+    s.add_argument("--block-size", type=int, default=64)
+    s.add_argument("--max-num-seqs", type=int, default=64)
+    s.add_argument("--max-num-batched-tokens", type=int, default=2048)
+    s.add_argument("--gpu-memory-utilization", "--memory-fraction",
+                   dest="memory_fraction", type=float, default=None)
+    s.add_argument("--num-blocks", type=int, default=None)
+    s.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    s.add_argument("--kv-quant-k", default="")
+    s.add_argument("--kv-quant-v", default="")
+    s.add_argument("--served-model-name", default=None)
+
+    args = ap.parse_args()
+    if args.cmd == "serve":
+        from .engine.launcher import build_engine
+        from .server.openai_server import serve
+        engine, tok = build_engine(
+            args.model, tokenizer_path=args.tokenizer,
+            max_model_len=args.max_model_len, block_size=args.block_size,
+            max_num_seqs=args.max_num_seqs,
+            max_num_batched_tokens=args.max_num_batched_tokens,
+            memory_fraction=args.memory_fraction,
+            num_blocks=args.num_blocks,
+            tensor_parallel_size=args.tensor_parallel_size,
+            kv_quant_k=args.kv_quant_k, kv_quant_v=args.kv_quant_v)
+        serve(engine, tok, host=args.host, port=args.port,
+              model_name=args.served_model_name or args.model)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Engine construction: checkpoint -> model/weights/tokenizer -> LLMEngine.
+
+Covers the roles of the reference's ``ModelLifecycle`` + ``WorkerCachePlanner``
+(``/root/reference/vllm_metal/v1/model_lifecycle.py:115``,
+``cache_policy.py:826``): load + dims, then budget HBM for the paged pool
+(limit * fraction - bytes already in use after weight upload -> num_blocks).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional
+
+import jax
+
+from .. import envs
+from ..config import CacheConfig, EngineConfig, ModelConfig, ParallelConfig, \
+    SchedulerConfig
+from .engine import LLMEngine
+
+logger = logging.getLogger(__name__)
+
+MIN_BLOCKS = 16
+
+
+def plan_num_blocks(bytes_per_block: int, fraction: float,
+                    reserved_bytes: int = 512 << 20,
+                    device: Optional[Any] = None) -> int:
+    """HBM budget -> paged-pool block count (run after weights are loaded)."""
+    device = device or jax.local_devices()[0]
+    stats = device.memory_stats() or {}
+    limit = stats.get("bytes_limit", 16 << 30)
+    in_use = stats.get("bytes_in_use", 0)
+    budget = int(limit * fraction) - in_use - reserved_bytes
+    n = max(MIN_BLOCKS, budget // bytes_per_block)
+    logger.info(
+        "memory plan: limit=%.2fGB in_use=%.2fGB fraction=%.2f -> "
+        "%d blocks (%.2fGB)", limit / 1e9, in_use / 1e9, fraction, n,
+        n * bytes_per_block / 1e9)
+    return int(n)
+
+
+def build_engine(model_path: str,
+                 tokenizer_path: Optional[str] = None,
+                 max_model_len: Optional[int] = None,
+                 block_size: int = 64,
+                 max_num_seqs: int = 64,
+                 max_num_batched_tokens: int = 2048,
+                 memory_fraction: Optional[float] = None,
+                 num_blocks: Optional[int] = None,
+                 tensor_parallel_size: int = 1,
+                 use_pallas: Optional[bool] = None,
+                 kv_quant_k: str = "", kv_quant_v: str = "",
+                 ) -> tuple[LLMEngine, Any]:
+    """Returns (engine, tokenizer).  model_path: .gguf file (for now)."""
+    from ..attention.kv_cache import PagedKVCache
+    from ..gguf.loader import load_model
+    from ..gguf.reader import GGUFFile
+    from .model_runner import ModelRunner
+    from .tokenizer import from_gguf, from_hf
+
+    if not model_path.endswith(".gguf"):
+        raise ValueError("only GGUF checkpoints are supported currently")
+
+    model, weights, mcfg = load_model(model_path)
+    if max_model_len:
+        mcfg.max_model_len = min(max_model_len, mcfg.max_model_len) \
+            if mcfg.max_model_len else max_model_len
+
+    if tokenizer_path:
+        tok = from_hf(tokenizer_path)
+    else:
+        tok = from_gguf(GGUFFile(model_path))
+
+    cfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(block_size=block_size, kv_quant_k=kv_quant_k,
+                          kv_quant_v=kv_quant_v),
+        scheduler=SchedulerConfig(
+            max_num_seqs=max_num_seqs,
+            max_num_batched_tokens=max_num_batched_tokens),
+        parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+    )
+
+    mesh = None
+    if tensor_parallel_size > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(tp=tensor_parallel_size)
+
+    if num_blocks is None:
+        # weights are on device now; measure what's left
+        jax.block_until_ready(jax.tree.leaves(weights)[0])
+        tmp = PagedKVCache.allocate(mcfg, cfg.cache, 1)
+        fraction = memory_fraction if memory_fraction is not None \
+            else envs.MEMORY_FRACTION
+        num_blocks = plan_num_blocks(tmp.bytes_per_block(), fraction)
+        max_useful = (max_num_seqs
+                      * -(-mcfg.max_model_len // block_size)) + 1
+        num_blocks = min(num_blocks, max_useful)
+
+    runner = ModelRunner(model, weights, cfg, num_blocks=num_blocks,
+                         use_pallas=use_pallas, mesh=mesh)
+    engine = LLMEngine(model, weights, cfg, num_blocks=num_blocks,
+                       tokenizer=tok, eos_token_id=tok.eos_token_id,
+                       runner=runner)
+    return engine, tok

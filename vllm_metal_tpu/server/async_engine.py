@@ -1,0 +1,105 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Async wrapper driving the synchronous LLMEngine from an event loop.
+
+The engine loop runs in a dedicated thread (the device step releases the
+GIL inside XLA); results stream back to per-request asyncio queues.  This
+preserves the reference's overlap contract (scheduler work on host
+concurrent with device execution, SURVEY.md §3.2) at the server level.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import queue
+import threading
+import uuid
+from typing import AsyncIterator, Optional
+
+from ..engine.engine import LLMEngine
+from ..engine.outputs import RequestOutput
+from ..engine.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = object()
+
+
+class AsyncEngine:
+    def __init__(self, engine: LLMEngine):
+        self.engine = engine
+        self.loop: Optional[asyncio.AbstractEventLoop] = None
+        self._in: "queue.Queue" = queue.Queue()
+        self._queues: dict[str, asyncio.Queue] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="engine-loop")
+
+    def start(self, loop: asyncio.AbstractEventLoop) -> None:
+        self.loop = loop
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._stop = True
+        self._wake.set()
+
+    # -- engine thread ---------------------------------------------------
+    def _drain_inbox(self) -> None:
+        while True:
+            try:
+                kind, payload = self._in.get_nowait()
+            except queue.Empty:
+                return
+            if kind == "add":
+                rid, ids, params = payload
+                try:
+                    self.engine.add_request(ids, params, request_id=rid)
+                except Exception as e:  # surface validation errors
+                    self._emit(rid, e)
+            elif kind == "abort":
+                self.engine.abort_request(payload)
+
+    def _emit(self, rid: str, item) -> None:
+        q = self._queues.get(rid)
+        if q is not None and self.loop is not None:
+            self.loop.call_soon_threadsafe(q.put_nowait, item)
+
+    def _run(self) -> None:
+        while not self._stop:
+            self._drain_inbox()
+            if not self.engine.has_unfinished():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            try:
+                outs = self.engine.step()
+            except Exception:
+                logger.exception("engine step failed")
+                continue
+            for out in outs:
+                self._emit(out.request_id, out)
+
+    # -- async API -------------------------------------------------------
+    async def generate(self, prompt_ids: list[int], params: SamplingParams,
+                       request_id: Optional[str] = None
+                       ) -> AsyncIterator[RequestOutput]:
+        rid = request_id or f"req-{uuid.uuid4().hex[:16]}"
+        q: asyncio.Queue = asyncio.Queue()
+        self._queues[rid] = q
+        self._in.put(("add", (rid, prompt_ids, params)))
+        self._wake.set()
+        try:
+            while True:
+                item = await q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+                if item.finished:
+                    return
+        finally:
+            self._queues.pop(rid, None)
+
+    def abort(self, request_id: str) -> None:
+        self._in.put(("abort", request_id))
+        self._wake.set()

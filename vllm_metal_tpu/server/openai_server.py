@@ -1,0 +1,272 @@
+# SPDX-License-Identifier: Apache-2.0
+"""OpenAI-compatible HTTP API on aiohttp."""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+import uuid
+from typing import Any, Optional
+
+from aiohttp import web
+
+from ..engine.sampling_params import SamplingParams
+from .async_engine import AsyncEngine
+
+logger = logging.getLogger(__name__)
+
+
+def _params_from_request(body: dict, default_max: int = 256) -> SamplingParams:
+    def g(key, default):
+        v = body.get(key)
+        return default if v is None else v
+
+    return SamplingParams(
+        max_tokens=int(g("max_tokens", g("max_completion_tokens",
+                                         default_max))),
+        temperature=float(g("temperature", 1.0)),
+        top_p=float(g("top_p", 1.0)),
+        top_k=int(g("top_k", 0)),
+        min_p=float(g("min_p", 0.0)),
+        repetition_penalty=float(g("repetition_penalty", 1.0)),
+        presence_penalty=float(g("presence_penalty", 0.0)),
+        frequency_penalty=float(g("frequency_penalty", 0.0)),
+        stop=g("stop", []) if isinstance(g("stop", []), list)
+        else [g("stop", "")],
+        stop_token_ids=g("stop_token_ids", []),
+        seed=body.get("seed"),
+        logprobs=body.get("logprobs") if isinstance(body.get("logprobs"), int)
+        else None,
+        ignore_eos=bool(g("ignore_eos", False)),
+    )
+
+
+class OpenAIServer:
+    def __init__(self, async_engine: AsyncEngine, tokenizer: Any,
+                 model_name: str = "vllm-metal-tpu-model"):
+        self.engine = async_engine
+        self.tok = tokenizer
+        self.model_name = model_name
+        self.started = time.time()
+
+    # ------------------------------------------------------------------
+    def app(self) -> web.Application:
+        app = web.Application()
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/ping", self.health)
+        app.router.add_get("/v1/models", self.models)
+        app.router.add_get("/metrics", self.metrics)
+        app.router.add_post("/v1/completions", self.completions)
+        app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/tokenize", self.tokenize)
+        app.router.add_post("/detokenize", self.detokenize)
+        app.router.add_post("/start_profile", self.start_profile)
+        app.router.add_post("/stop_profile", self.stop_profile)
+        return app
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "created": int(self.started),
+                      "owned_by": "vllm-metal-tpu"}],
+        })
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        e = self.engine.engine
+        lines = [
+            "# TYPE vllm_metal_tpu_prompt_tokens_total counter",
+            f"vllm_metal_tpu_prompt_tokens_total {e.num_prompt_tokens}",
+            "# TYPE vllm_metal_tpu_generation_tokens_total counter",
+            f"vllm_metal_tpu_generation_tokens_total {e.num_generated_tokens}",
+            "# TYPE vllm_metal_tpu_preemptions_total counter",
+            f"vllm_metal_tpu_preemptions_total {e.num_preemptions}",
+            "# TYPE vllm_metal_tpu_kv_cache_usage gauge",
+            f"vllm_metal_tpu_kv_cache_usage {e.bm.usage():.6f}",
+            "# TYPE vllm_metal_tpu_num_waiting gauge",
+            f"vllm_metal_tpu_num_waiting {len(e.scheduler.waiting)}",
+            "# TYPE vllm_metal_tpu_num_running gauge",
+            f"vllm_metal_tpu_num_running {len(e.scheduler.running)}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ids = self.tok.encode(body.get("prompt", ""))
+        return web.json_response({"tokens": ids, "count": len(ids)})
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        return web.json_response(
+            {"prompt": self.tok.decode(body.get("tokens", []))})
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        import jax
+        trace_dir = "/tmp/vllm_metal_tpu_profile"
+        jax.profiler.start_trace(trace_dir)
+        return web.json_response({"status": "started", "dir": trace_dir})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        import jax
+        jax.profiler.stop_trace()
+        return web.json_response({"status": "stopped"})
+
+    # ------------------------------------------------------------------
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list) and prompt \
+                and isinstance(prompt[0], int):
+            prompt_ids = prompt
+        elif isinstance(prompt, list):
+            return web.json_response(
+                {"error": "batch prompts not supported yet"}, status=400)
+        else:
+            prompt_ids = self.tok.encode(prompt)
+        params = _params_from_request(body)
+        rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        stream = bool(body.get("stream", False))
+        if stream:
+            return await self._stream(request, rid, prompt_ids, params,
+                                      chat=False)
+        try:
+            out, text = await self._collect(rid, prompt_ids, params)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}},
+                                     status=400)
+        return web.json_response({
+            "id": rid, "object": "text_completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{
+                "index": 0, "text": text,
+                "finish_reason": out.finish_reason,
+                "logprobs": None,
+            }],
+            "usage": {
+                "prompt_tokens": len(prompt_ids),
+                "completion_tokens": len(out.token_ids),
+                "total_tokens": len(prompt_ids) + len(out.token_ids),
+            },
+        })
+
+    async def chat_completions(self, request: web.Request
+                               ) -> web.StreamResponse:
+        body = await request.json()
+        messages = body.get("messages", [])
+        prompt = self.tok.apply_chat_template(messages)
+        prompt_ids = self.tok.encode(prompt, add_special_tokens=False)
+        params = _params_from_request(body)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        if bool(body.get("stream", False)):
+            return await self._stream(request, rid, prompt_ids, params,
+                                      chat=True)
+        try:
+            out, text = await self._collect(rid, prompt_ids, params)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}},
+                                     status=400)
+        return web.json_response({
+            "id": rid, "object": "chat.completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": out.finish_reason,
+            }],
+            "usage": {
+                "prompt_tokens": len(prompt_ids),
+                "completion_tokens": len(out.token_ids),
+                "total_tokens": len(prompt_ids) + len(out.token_ids),
+            },
+        })
+
+    # ------------------------------------------------------------------
+    async def _collect(self, rid, prompt_ids, params):
+        last = None
+        async for out in self.engine.generate(prompt_ids, params, rid):
+            last = out
+        text = self.tok.decode(last.token_ids)
+        text = _apply_stop_strings(text, params.stop)
+        return last, text
+
+    async def _stream(self, request, rid, prompt_ids, params, chat: bool
+                      ) -> web.StreamResponse:
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        sent_text = ""
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        try:
+            if chat:
+                first = {"id": rid, "object": obj,
+                         "created": int(time.time()),
+                         "model": self.model_name,
+                         "choices": [{"index": 0, "delta": {
+                             "role": "assistant", "content": ""},
+                             "finish_reason": None}]}
+                await resp.write(f"data: {json.dumps(first)}\n\n".encode())
+            async for out in self.engine.generate(prompt_ids, params, rid):
+                full = self.tok.decode(out.token_ids)
+                full = _apply_stop_strings(full, params.stop)
+                delta = full[len(sent_text):]
+                # hold back partial multi-byte glyphs
+                if delta.endswith("�") and not out.finished:
+                    continue
+                sent_text = full
+                if chat:
+                    payload = {"id": rid, "object": obj,
+                               "created": int(time.time()),
+                               "model": self.model_name,
+                               "choices": [{"index": 0,
+                                            "delta": {"content": delta},
+                                            "finish_reason":
+                                            out.finish_reason if out.finished
+                                            else None}]}
+                else:
+                    payload = {"id": rid, "object": obj,
+                               "created": int(time.time()),
+                               "model": self.model_name,
+                               "choices": [{"index": 0, "text": delta,
+                                            "finish_reason":
+                                            out.finish_reason if out.finished
+                                            else None}]}
+                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+        except ConnectionResetError:
+            self.engine.abort(rid)
+        return resp
+
+
+def _apply_stop_strings(text: str, stops: list[str]) -> str:
+    for s in stops:
+        if s and s in text:
+            text = text[:text.index(s)]
+    return text
+
+
+def serve(engine, tokenizer, host: str = "0.0.0.0", port: int = 8000,
+          model_name: str = "model") -> None:
+    import asyncio
+
+    async_engine = AsyncEngine(engine)
+    server = OpenAIServer(async_engine, tokenizer, model_name)
+    app = server.app()
+
+    async def _main():
+        async_engine.start(asyncio.get_running_loop())
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, host, port)
+        await site.start()
+        logger.info("serving on http://%s:%d", host, port)
+        while True:
+            await asyncio.sleep(3600)
+
+    asyncio.run(_main())
