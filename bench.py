@@ -33,9 +33,9 @@ def make_q4(key, n, k, dtype=jnp.float16):
     k1, k2, k3 = jax.random.split(key, 3)
     packed = jax.random.randint(k1, (n, k // 2), 0, 255, jnp.int32
                                 ).astype(jnp.uint8)
-    scales = (jax.random.uniform(k2, (n, k // 32), jnp.float32) * 0.01
+    scales = (jax.random.uniform(k2, (k // 32, n), jnp.float32) * 0.01
               ).astype(dtype)
-    biases = (jax.random.uniform(k3, (n, k // 32), jnp.float32) * -0.08
+    biases = (jax.random.uniform(k3, (k // 32, n), jnp.float32) * -0.08
               ).astype(dtype)
     return QuantLinear(kind="q4", w=packed, scales=scales, biases=biases,
                        group_size=32)

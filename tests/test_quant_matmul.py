@@ -19,10 +19,7 @@ def make_q4(n, k, seed=0):
     rng = np.random.default_rng(seed)
     w = rng.standard_normal((n, k)).astype(np.float32)
     p = pack_affine_q4(quantize_q4_k(w), GGMLType.Q4_K, (n, k))
-    return QuantLinear(kind="q4", w=jnp.asarray(p.packed),
-                       scales=jnp.asarray(p.scales.astype(np.float16)),
-                       biases=jnp.asarray(p.biases.astype(np.float16)),
-                       group_size=32)
+    return QuantLinear.from_packed(p)
 
 
 def make_q8(n, k, seed=0, qt=GGMLType.Q8_0):
@@ -30,12 +27,7 @@ def make_q8(n, k, seed=0, qt=GGMLType.Q8_0):
     w = rng.standard_normal((n, k)).astype(np.float32)
     enc = quantize_q8_0(w) if qt == GGMLType.Q8_0 else quantize_q6_k(w)
     p = pack_q8(enc, qt, (n, k))
-    return QuantLinear(
-        kind="q8", w=jnp.asarray(p.q),
-        scales=jnp.asarray(p.scales.astype(np.float16)),
-        biases=None if p.biases is None
-        else jnp.asarray(p.biases.astype(np.float16)),
-        group_size=p.group_size)
+    return QuantLinear.from_packed(p)
 
 
 @pytest.mark.parametrize("m", [8, 64])
@@ -91,6 +83,6 @@ def test_dequantize_ref_q4_exact_vs_numpy():
     lo = (packed & 0xF).astype(np.float32)
     hi = (packed >> 4).astype(np.float32)
     q = np.stack([lo, hi], axis=-1).reshape(8, 64)
-    s = np.asarray(ql.scales, np.float32).repeat(32, axis=1)
-    b = np.asarray(ql.biases, np.float32).repeat(32, axis=1)
+    s = np.asarray(ql.scales, np.float32).T.repeat(32, axis=1)
+    b = np.asarray(ql.biases, np.float32).T.repeat(32, axis=1)
     np.testing.assert_allclose(w, q * s + b, rtol=1e-6, atol=1e-6)

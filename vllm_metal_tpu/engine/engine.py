@@ -49,11 +49,23 @@ class LLMEngine:
                                    cfg.model.max_model_len)
         self.requests: dict[str, Request] = {}
         self._id_counter = itertools.count()
+        self.proposer = None
+        if cfg.spec.method == "ngram":
+            from ..spec.ngram import NgramProposer
+            self.proposer = NgramProposer(
+                ngram_min=cfg.spec.ngram_min, ngram_max=cfg.spec.ngram_max,
+                num_tokens=cfg.spec.num_speculative_tokens)
+        elif cfg.spec.method:
+            raise NotImplementedError(
+                f"speculative method {cfg.spec.method!r}")
+        self._drafts: dict[str, list[int]] = {}
         # metrics
         self.num_prompt_tokens = 0
         self.num_generated_tokens = 0
         self.num_preemptions = 0
         self.num_cached_prompt_tokens = 0
+        self.num_accepted_drafts = 0
+        self.num_proposed_drafts = 0
 
     # ------------------------------------------------------------------
     def add_request(self, prompt_token_ids: list[int],
@@ -88,8 +100,27 @@ class LLMEngine:
         return self.scheduler.has_unfinished()
 
     # ------------------------------------------------------------------
+    def _propose_drafts(self) -> dict[str, int]:
+        """Ask the proposer for drafts for every decode-ready request."""
+        counts: dict[str, int] = {}
+        if self.proposer is None:
+            return counts
+        w = self.cfg.spec.num_speculative_tokens
+        for req in self.scheduler.running:
+            if not req.params.greedy:
+                continue  # greedy-only, like the reference
+            if req.num_computed_tokens != req.num_tokens - 1:
+                continue  # still prefilling
+            drafts = self.proposer.propose(
+                req.request_id, req.all_token_ids)[:w]
+            if drafts:
+                self._drafts[req.request_id] = drafts
+                counts[req.request_id] = len(drafts)
+        return counts
+
     def step(self) -> list[RequestOutput]:
-        sched = self.scheduler.schedule()
+        draft_counts = self._propose_drafts()
+        sched = self.scheduler.schedule(num_draft_tokens=draft_counts)
         self.num_preemptions += len(sched.preempted)
         if not sched.scheduled:
             return []
@@ -99,14 +130,20 @@ class LLMEngine:
             req = s.request
             all_ids = req.all_token_ids
             start = req.num_computed_tokens
-            chunk = all_ids[start:start + s.num_new_tokens]
+            if s.num_draft_tokens:
+                drafts = self._drafts[req.request_id][:s.num_draft_tokens]
+                chunk = all_ids[start:start + 1] + drafts
+            else:
+                chunk = all_ids[start:start + s.num_new_tokens]
             inputs.append(SeqStepInput(
                 query_tokens=chunk,
-                context_len=start + s.num_new_tokens,
+                context_len=start + len(chunk),
                 block_table=self.bm.get_block_table(req.request_id),
                 params=req.params,
                 recent_tokens=req.output_token_ids,
-                sample_needed=(start + s.num_new_tokens >= req.num_tokens),
+                sample_needed=(start + s.num_new_tokens >= req.num_tokens
+                               or s.num_draft_tokens > 0),
+                num_draft_tokens=s.num_draft_tokens,
             ))
 
         out = self.runner.execute(inputs)
@@ -115,25 +152,49 @@ class LLMEngine:
         now = time.monotonic()
         for i, s in enumerate(sched.scheduled):
             req = s.request
-            req.num_computed_tokens += s.num_new_tokens
-            self.bm.commit_full_blocks(
-                req.request_id, req.all_token_ids, req.num_computed_tokens)
+            if s.num_draft_tokens:
+                new_tokens, accepted = self._verify(req, s, out, i)
+            else:
+                req.num_computed_tokens += s.num_new_tokens
+                new_tokens, accepted = None, 0
             if not inputs[i].sample_needed:
+                self.bm.commit_full_blocks(
+                    req.request_id, req.all_token_ids,
+                    req.num_computed_tokens)
                 continue
-            token = int(out.token_ids[i])
-            req.output_token_ids.append(token)
-            req.logprobs.append(float(out.logprobs[i]))
+            if new_tokens is None:
+                new_tokens = [int(out.token_ids[i])]
+                logprobs = [float(out.logprobs[i])]
+            else:
+                logprobs = [0.0] * len(new_tokens)
+            emitted: list[int] = []
+            stop = None
+            for tok, lp in zip(new_tokens, logprobs):
+                req.output_token_ids.append(tok)
+                req.logprobs.append(lp)
+                emitted.append(tok)
+                self.num_generated_tokens += 1
+                stop = req.check_stop(self.cfg.model.max_model_len)
+                if stop is not None:
+                    break
             if req.first_token_time is None:
                 req.first_token_time = now
-            self.num_generated_tokens += 1
-            stop = req.check_stop(self.cfg.model.max_model_len)
+            # commit after appending so block hashes cover real tokens
+            # (spec-accepted tokens only exist in all_token_ids now); clamp
+            # to num_tokens — a stop can truncate below the KV watermark
+            self.bm.commit_full_blocks(
+                req.request_id, req.all_token_ids,
+                min(req.num_computed_tokens, req.num_tokens))
             finished = stop is not None
             if finished:
                 self.scheduler.finish_request(req, stop)
                 self.requests.pop(req.request_id, None)
+                self._drafts.pop(req.request_id, None)
+                if self.proposer is not None:
+                    self.proposer.release(req.request_id)
             results.append(RequestOutput(
                 request_id=req.request_id,
-                new_token_ids=[token],
+                new_token_ids=emitted,
                 finished=finished,
                 finish_reason=_FINISH_REASON.get(stop),
                 token_ids=list(req.output_token_ids),
@@ -141,6 +202,24 @@ class LLMEngine:
                 num_prompt_tokens=req.num_prompt_tokens,
             ))
         return results
+
+    def _verify(self, req, s, out, i):
+        """Greedy-verify drafts for scheduled seq i; advance KV state."""
+        from ..spec.controller import verify_greedy
+        w = self.cfg.spec.num_speculative_tokens
+        k = s.num_draft_tokens
+        drafts = self._drafts.pop(req.request_id)[:k]
+        vt = out.verify_tokens[i]                 # [w + 1]
+        target_next = [int(x) for x in vt[w - k:]]
+        accepted, new_tokens = verify_greedy(target_next, drafts)
+        start = req.num_computed_tokens
+        req.num_computed_tokens = start + 1 + accepted
+        req.num_accepted_drafts += accepted
+        self.num_accepted_drafts += accepted
+        self.num_proposed_drafts += k
+        if self.proposer is not None:
+            self.proposer.record_result(req.request_id, accepted, k)
+        return new_tokens, accepted
 
     # ------------------------------------------------------------------
     def generate(self, prompts: Iterable[list[int]],

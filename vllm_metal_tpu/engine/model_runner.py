@@ -41,6 +41,7 @@ class SeqStepInput:
     params: SamplingParams
     recent_tokens: list[int] = field(default_factory=list)
     sample_needed: bool = True       # False for incomplete prefill chunks
+    num_draft_tokens: int = 0        # trailing speculative tokens to verify
 
 
 @dataclass
@@ -48,6 +49,10 @@ class StepOutput:
     token_ids: np.ndarray            # [num_seqs] sampled ids (valid where
     logprobs: np.ndarray             # sample_needed)
     logits: Any = None               # [num_seqs, V] device array (lazy)
+    # [num_seqs, spec_window+1] greedy argmax of each seq's last rows
+    # (row j of seq i = target's next token after query token
+    #  qlen_i-1-spec_window+j) — consumed by spec verify
+    verify_tokens: Any = None
 
 
 class ModelRunner:
@@ -83,6 +88,8 @@ class ModelRunner:
         self.cache = cache
         self.max_blocks_per_seq = max(
             1, cfg.model.max_model_len // cfg.cache.block_size)
+        self.spec_window = cfg.spec.num_speculative_tokens \
+            if cfg.spec.method else 0
         self.step_counter = 0
         self._compiled: dict[tuple[int, int], Any] = {}
 
@@ -104,16 +111,32 @@ class ModelRunner:
         on every chip, so the host can read from any shard).
         """
 
+        spec_w = self.spec_window
+
         def step(weights, cache: PagedKVCache, token_ids: jax.Array,
                  md: AttentionMetadata, st: SamplingTensors,
                  step_idx: jax.Array):
             attn_fn, get_cache = self.backend.make_attn_fn(cache, md)
             hidden = self.model.forward_hidden(
                 weights, token_ids, md.positions, attn_fn)
-            rows = jnp.clip(md.query_start_loc[1:] - 1, 0, hidden.shape[0] - 1)
-            logits = self.model.logits(weights, hidden[rows])
+            last = md.query_start_loc[1:] - 1          # [S]
+            if spec_w:
+                # last (spec_w + 1) rows per seq for draft verification
+                offs = jnp.arange(-spec_w, 1)
+                rows = jnp.clip(last[:, None] + offs[None, :], 0,
+                                hidden.shape[0] - 1)   # [S, W+1]
+                s_pad, w1 = rows.shape
+                logits_all = self.model.logits(
+                    weights, hidden[rows.reshape(-1)])
+                logits_all = logits_all.reshape(s_pad, w1, -1)
+                verify = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+                logits = logits_all[:, -1]
+            else:
+                rows = jnp.clip(last, 0, hidden.shape[0] - 1)
+                logits = self.model.logits(weights, hidden[rows])
+                verify = None
             tokens, logprobs = sample(logits, st, step_idx)
-            return tokens, logprobs, logits, get_cache()
+            return tokens, logprobs, logits, verify, get_cache()
 
         if self.mesh is None:
             return functools.partial(jax.jit, donate_argnums=(1,))(step)
@@ -128,7 +151,7 @@ class ModelRunner:
         sharded = shard_map(
             step, mesh=self.mesh,
             in_specs=(w_specs, c_specs, P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), c_specs),
+            out_specs=(P(), P(), P(), P(), c_specs),
             check_vma=False)
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
@@ -166,11 +189,13 @@ class ModelRunner:
 
         if not hasattr(self, "_step"):
             self._step = self._step_fn()
-        tokens, logprobs, logits, self.cache = self._step(
+        tokens, logprobs, logits, verify, self.cache = self._step(
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,
             jnp.asarray(self.step_counter, jnp.int32))
         self.step_counter += 1
         n = len(seqs)
         return StepOutput(token_ids=np.asarray(tokens)[:n],
                           logprobs=np.asarray(logprobs)[:n],
-                          logits=logits[:n])
+                          logits=logits[:n],
+                          verify_tokens=None if verify is None
+                          else np.asarray(verify)[:n])

@@ -101,20 +101,9 @@ def load_tensor(f: GGUFFile, name: str, as_linear: bool = True,
             dequantize(raw, t, info.shape).astype(np.float32), dtype=dtype)
     n, k = info.shape
     if t in _Q4_TYPES and k % 256 == 0:
-        p = pack_affine_q4(raw, t, (n, k))
-        return QuantLinear(
-            kind="q4", w=jnp.asarray(p.packed),
-            scales=jnp.asarray(p.scales.astype(np.float16)),
-            biases=jnp.asarray(p.biases.astype(np.float16)),
-            group_size=p.group_size)
+        return QuantLinear.from_packed(pack_affine_q4(raw, t, (n, k)))
     if t in _Q8_TYPES and k % 256 == 0:
-        p = pack_q8(raw, t, (n, k))
-        return QuantLinear(
-            kind="q8", w=jnp.asarray(p.q),
-            scales=jnp.asarray(p.scales.astype(np.float16)),
-            biases=None if p.biases is None
-            else jnp.asarray(p.biases.astype(np.float16)),
-            group_size=p.group_size)
+        return QuantLinear.from_packed(pack_q8(raw, t, (n, k)))
     if t not in _FP_TYPES:
         logger.info("densifying %s (%s, k=%d)", name, t.name, k)
     return QuantLinear.dense(jnp.asarray(

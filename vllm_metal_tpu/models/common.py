@@ -97,9 +97,11 @@ def embed_lookup(table: QuantLinear, ids: jax.Array,
         q = table.w[ids].astype(jnp.float32)
     else:
         raise ValueError(table.kind)
-    s = _expand_groups(table.scales[ids].astype(jnp.float32), table.group_size)
+    # scales are [H//G, V]: gather columns then repeat along the feature dim
+    s = jnp.repeat(table.scales[:, ids].T.astype(jnp.float32),
+                   table.group_size, axis=-1)
     w = q * s
     if table.biases is not None:
-        w = w + _expand_groups(table.biases[ids].astype(jnp.float32),
-                               table.group_size)
+        w = w + jnp.repeat(table.biases[:, ids].T.astype(jnp.float32),
+                           table.group_size, axis=-1)
     return w.astype(dtype)

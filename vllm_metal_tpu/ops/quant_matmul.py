@@ -35,12 +35,17 @@ from ..utils import static_dataclass
 
 @static_dataclass(meta_fields=("kind", "group_size"))
 class QuantLinear:
-    """A (possibly quantized) linear weight as a pytree."""
+    """A (possibly quantized) linear weight as a pytree.
+
+    ``scales``/``biases`` are stored TRANSPOSED ``[K//G, N]`` so the Pallas
+    kernel can block them with a 128-lane-aligned last dimension (Mosaic
+    requires block last dims divisible by 128 or full).
+    """
 
     kind: str                      # "dense" | "q4" | "q8"
     w: jax.Array                   # dense [N,K] | packed u8 [N,K//2] | i8 [N,K]
-    scales: Optional[jax.Array]    # [N, K//G] or None
-    biases: Optional[jax.Array]    # [N, K//G] or None
+    scales: Optional[jax.Array]    # [K//G, N] or None
+    biases: Optional[jax.Array]    # [K//G, N] or None
     group_size: int = 32
 
     @property
@@ -55,6 +60,25 @@ class QuantLinear:
     def dense(cls, w: jax.Array) -> "QuantLinear":
         return cls(kind="dense", w=w, scales=None, biases=None)
 
+    @classmethod
+    def from_packed(cls, p, dtype=jnp.float16) -> "QuantLinear":
+        """Build from gguf.quants PackedQ4/PackedQ8 (numpy, [N, K//G]
+        scale layout) — transposes scale arrays into kernel layout."""
+        import numpy as np
+        if hasattr(p, "packed"):          # PackedQ4
+            return cls(kind="q4", w=jnp.asarray(p.packed),
+                       scales=jnp.asarray(
+                           np.ascontiguousarray(p.scales.T).astype(dtype)),
+                       biases=jnp.asarray(
+                           np.ascontiguousarray(p.biases.T).astype(dtype)),
+                       group_size=p.group_size)
+        return cls(kind="q8", w=jnp.asarray(p.q),
+                   scales=jnp.asarray(
+                       np.ascontiguousarray(p.scales.T).astype(dtype)),
+                   biases=None if p.biases is None else jnp.asarray(
+                       np.ascontiguousarray(p.biases.T).astype(dtype)),
+                   group_size=p.group_size)
+
 
 def _unpack_q4(packed: jax.Array) -> jax.Array:
     """uint8 [N, K//2] -> int8-valued [N, K] (nibble 2k low, 2k+1 high)."""
@@ -65,8 +89,8 @@ def _unpack_q4(packed: jax.Array) -> jax.Array:
 
 
 def _expand_groups(s: jax.Array, group_size: int) -> jax.Array:
-    """[N, G] -> [N, G*group_size] by repeating each group value."""
-    return jnp.repeat(s, group_size, axis=-1)
+    """[K//G, N] -> [N, K] by transposing and repeating each group value."""
+    return jnp.repeat(s.T, group_size, axis=-1)
 
 
 def dequantize_ref(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
@@ -106,11 +130,14 @@ def _q4_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
 
     packed = w_ref[:]
     tn, khalf = packed.shape
-    lo = (packed & 0x0F).astype(jnp.int8)
-    hi = (packed >> 4).astype(jnp.int8)
-    q = jnp.stack([lo, hi], axis=-1).reshape(tn, khalf * 2).astype(jnp.float32)
-    scale = jnp.repeat(s_ref[:].astype(jnp.float32), group_size, axis=-1)
-    bias = jnp.repeat(b_ref[:].astype(jnp.float32), group_size, axis=-1)
+    # unpack nibbles in 32-bit: Mosaic only supports the interleaving
+    # reshape (minor-dim insertion) for 32-bit element types
+    lo = (packed & 0x0F).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    q = jnp.stack([lo, hi], axis=-1).reshape(tn, khalf * 2)
+    # scales arrive transposed [tk//G, tn]
+    scale = jnp.repeat(s_ref[:].T.astype(jnp.float32), group_size, axis=-1)
+    bias = jnp.repeat(b_ref[:].T.astype(jnp.float32), group_size, axis=-1)
     w = (q * scale + bias).astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w, (((1,), (1,)), ((), ())),
@@ -130,10 +157,11 @@ def _q8_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = w_ref[:].astype(jnp.float32)
-    scale = jnp.repeat(s_ref[:].astype(jnp.float32), group_size, axis=-1)
+    scale = jnp.repeat(s_ref[:].T.astype(jnp.float32), group_size, axis=-1)
     w = q * scale
     if has_bias:
-        w = w + jnp.repeat(b_ref[:].astype(jnp.float32), group_size, axis=-1)
+        w = w + jnp.repeat(b_ref[:].T.astype(jnp.float32), group_size,
+                           axis=-1)
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -185,9 +213,9 @@ def _quant_matmul_pallas(x: jax.Array, ql: QuantLinear,
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             w_spec,
-            pl.BlockSpec((tn, tk // g), lambda i, j, k: (j, k),
+            pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tk // g), lambda i, j, k: (j, k),
+            pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
