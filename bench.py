@@ -29,10 +29,12 @@ def log(*a):
 
 
 def make_q4(key, n, k, dtype=jnp.float16):
+    """Random packed-q4 weights. Traced inside one jitted build program so
+    the whole model materializes in a single device dispatch (the remote
+    tunnel makes per-op dispatch latency expensive)."""
     from vllm_metal_tpu.ops.quant_matmul import QuantLinear
     k1, k2, k3 = jax.random.split(key, 3)
-    packed = jax.random.randint(k1, (n, k // 2), 0, 255, jnp.int32
-                                ).astype(jnp.uint8)
+    packed = jax.random.bits(k1, (n, k // 2), jnp.uint8)
     scales = (jax.random.uniform(k2, (k // 32, n), jnp.float32) * 0.01
               ).astype(dtype)
     biases = (jax.random.uniform(k3, (k // 32, n), jnp.float32) * -0.08
@@ -69,32 +71,37 @@ def build_model(preset: str):
             max_num_seqs=64, max_num_batched_tokens=2048,
             token_buckets=(64, 128, 256, 512, 1024, 2048)))
 
-    key = jax.random.PRNGKey(0)
-    keys = iter(jax.random.split(key, 16 * mc.num_layers + 8))
     h = mc.hidden_size
-    layers = []
-    for _ in range(mc.num_layers):
-        layers.append(LlamaLayerWeights(
-            attn_norm=jnp.ones((h,), jnp.bfloat16),
-            wq=make_q4(next(keys), mc.q_dim, h),
-            wk=make_q4(next(keys), mc.kv_dim, h),
-            wv=make_q4(next(keys), mc.kv_dim, h),
-            wo=make_q4(next(keys), h, mc.q_dim),
-            mlp_norm=jnp.ones((h,), jnp.bfloat16),
-            gate=make_q4(next(keys), mc.intermediate_size, h),
-            up=make_q4(next(keys), mc.intermediate_size, h),
-            down=make_q4(next(keys), h, mc.intermediate_size),
-            q_norm=jnp.ones((mc.head_dim,), jnp.bfloat16) if mc.qk_norm
-            else None,
-            k_norm=jnp.ones((mc.head_dim,), jnp.bfloat16) if mc.qk_norm
-            else None,
-        ))
-    weights = LlamaWeights(
-        embedding=make_q4(next(keys), mc.vocab_size, h),
-        layers=layers,
-        final_norm=jnp.ones((h,), jnp.bfloat16),
-        lm_head=make_q4(next(keys), mc.vocab_size, h),
-    )
+
+    @jax.jit
+    def build_all(key):
+        keys = iter(jax.random.split(key, 16 * mc.num_layers + 8))
+        layers = []
+        for _ in range(mc.num_layers):
+            layers.append(LlamaLayerWeights(
+                attn_norm=jnp.ones((h,), jnp.bfloat16),
+                wq=make_q4(next(keys), mc.q_dim, h),
+                wk=make_q4(next(keys), mc.kv_dim, h),
+                wv=make_q4(next(keys), mc.kv_dim, h),
+                wo=make_q4(next(keys), h, mc.q_dim),
+                mlp_norm=jnp.ones((h,), jnp.bfloat16),
+                gate=make_q4(next(keys), mc.intermediate_size, h),
+                up=make_q4(next(keys), mc.intermediate_size, h),
+                down=make_q4(next(keys), h, mc.intermediate_size),
+                q_norm=jnp.ones((mc.head_dim,), jnp.bfloat16) if mc.qk_norm
+                else None,
+                k_norm=jnp.ones((mc.head_dim,), jnp.bfloat16) if mc.qk_norm
+                else None,
+            ))
+        return LlamaWeights(
+            embedding=make_q4(next(keys), mc.vocab_size, h),
+            layers=layers,
+            final_norm=jnp.ones((h,), jnp.bfloat16),
+            lm_head=make_q4(next(keys), mc.vocab_size, h),
+        )
+
+    weights = build_all(jax.random.PRNGKey(0))
+    jax.block_until_ready(jax.tree.leaves(weights)[0])
     model = LlamaModel(mc)
     return model, weights, cfg
 

@@ -1,0 +1,100 @@
+# SPDX-License-Identifier: Apache-2.0
+"""TurboQuant KV cache e2e: the quantized pool must track the bf16 pool's
+attention output within the codec's error budget, end-to-end through the
+engine (reference model: turboquant quality-floor tests, docs/turboquant.md)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vllm_metal_tpu.config import (
+    CacheConfig, EngineConfig, ModelConfig, SchedulerConfig,
+)
+from vllm_metal_tpu.attention.metadata import build_metadata
+from vllm_metal_tpu.attention.quant_kv_cache import QuantPagedKVCache
+from vllm_metal_tpu.engine.engine import LLMEngine
+from vllm_metal_tpu.engine.model_runner import ModelRunner, SeqStepInput
+from vllm_metal_tpu.engine.sampling_params import SamplingParams
+from vllm_metal_tpu.models.llama import LlamaModel
+
+CFG = ModelConfig(
+    vocab_size=64, hidden_size=64, intermediate_size=96, num_layers=2,
+    num_heads=4, num_kv_heads=2, head_dim=128, max_model_len=128,
+)
+
+
+def test_quant_cache_write_read_roundtrip():
+    ccfg = CacheConfig(block_size=16, kv_quant_k="q8_0", kv_quant_v="q3_0")
+    cache = QuantPagedKVCache.allocate(CFG, ccfg, num_blocks=4)
+    rng = np.random.default_rng(0)
+    t = 8
+    k = jnp.asarray(rng.standard_normal((t, 2, 128)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, 2, 128)), dtype=jnp.float32)
+    slots = jnp.asarray([16 + i for i in range(t)], jnp.int32)  # block 1
+    cache = cache.write(0, k, v, slots)
+    slot_idx = jnp.asarray([[16 + i for i in range(16)]], jnp.int32)
+    kd, vd = cache.dequant_gathered(0, slot_idx, jnp.float32)
+    kd = np.asarray(kd)[0, :t]          # [t, KH, D]
+    vd = np.asarray(vd)[0, :t]
+    k_rms = np.sqrt(np.mean((kd - np.asarray(k)) ** 2))
+    v_rms = np.sqrt(np.mean((vd - np.asarray(v)) ** 2)) \
+        / np.sqrt(np.mean(np.asarray(v) ** 2))
+    assert k_rms < 0.01, k_rms          # int8 K
+    assert v_rms < 0.2, v_rms           # 3-bit Lloyd-Max V
+
+
+def test_quant_cache_pad_slots_dropped():
+    ccfg = CacheConfig(block_size=16, kv_quant_k="q8_0", kv_quant_v="q3_0")
+    cache = QuantPagedKVCache.allocate(CFG, ccfg, num_blocks=4)
+    k = jnp.ones((4, 2, 128), jnp.float32)
+    slots = jnp.asarray([16, 17, -1, -1], jnp.int32)
+    cache = cache.write(0, k, k, slots)
+    assert np.asarray(cache.k_codes[0, :, 0]).any() == False  # block 0 clean
+
+
+@pytest.mark.parametrize("ck,cv,atol", [
+    ("q8_0", "q3_0", 0.06),
+    ("q4_0", "q3_0", 0.15),
+])
+def test_engine_quant_kv_close_to_fp(ck, cv, atol):
+    def build(quant):
+        cache_kw = dict(kv_quant_k=ck, kv_quant_v=cv) if quant else {}
+        cfg = EngineConfig(
+            model=CFG, cache=CacheConfig(block_size=16, **cache_kw),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=64,
+                                      token_buckets=(16, 32, 64)))
+        model = LlamaModel(CFG)
+        weights = model.init_random(jax.random.PRNGKey(0), dtype=jnp.float32)
+        return ModelRunner(model, weights, cfg, num_blocks=16,
+                           use_pallas=False)
+
+    r_fp = build(False)
+    r_tq = build(True)
+    prompt = [int(x) for x in np.random.default_rng(2).integers(1, 63, 12)]
+    seq = SeqStepInput(query_tokens=prompt, context_len=len(prompt),
+                       block_table=[1], params=SamplingParams(temperature=0.0))
+    o_fp = r_fp.execute([seq])
+    o_tq = r_tq.execute([seq])
+    lf = np.asarray(o_fp.logits)[0]
+    lq = np.asarray(o_tq.logits)[0]
+    assert np.abs(lf - lq).mean() < atol, np.abs(lf - lq).mean()
+
+
+def test_engine_e2e_with_quant_cache():
+    cfg = EngineConfig(
+        model=CFG,
+        cache=CacheConfig(block_size=16, kv_quant_k="q8_0", kv_quant_v="q3_0"),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  token_buckets=(16, 32, 64)))
+    model = LlamaModel(CFG)
+    weights = model.init_random(jax.random.PRNGKey(1), dtype=jnp.float32)
+    eng = LLMEngine(model, weights, cfg, num_blocks=32, use_pallas=False)
+    rng = np.random.default_rng(3)
+    prompts = [[int(x) for x in rng.integers(1, 63, n)] for n in (5, 9)]
+    outs = eng.generate(prompts, SamplingParams(temperature=0.0,
+                                                max_tokens=4))
+    assert len(outs) == 2
+    for o in outs.values():
+        assert o.finished and len(o.token_ids) == 4

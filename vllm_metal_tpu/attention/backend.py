@@ -40,8 +40,16 @@ class PagedAttentionBackend:
                sinks: Optional[jax.Array] = None
                ) -> tuple[jax.Array, PagedKVCache]:
         """Write k/v into the pool, then attend q against the pool."""
+        from .quant_kv_cache import QuantPagedKVCache
         cache = cache.write(layer_idx, k, v, md.slot_mapping)
         window = self.cfg.layer_sliding_window(layer_idx)
+        if isinstance(cache, QuantPagedKVCache):
+            from ..ops.paged_attention import paged_attention_quant_ref
+            out = paged_attention_quant_ref(
+                q, cache, layer_idx, md,
+                scale=self.scale, sliding_window=window, sinks=sinks,
+                logit_softcap=self.cfg.attn_logit_softcap)
+            return out, cache
         if self.use_pallas:
             from ..ops.paged_attention_kernel import paged_attention
             out = paged_attention(

@@ -67,10 +67,15 @@ class ModelRunner:
         self.backend = PagedAttentionBackend(cfg.model, use_pallas=use_pallas)
         if cache is None:
             assert num_blocks is not None
-            cache = PagedKVCache.allocate(
-                cfg.model, cfg.cache, num_blocks,
-                dtype=jnp.bfloat16 if cfg.cache.cache_dtype == "bfloat16"
-                else jnp.float32)
+            dtype = jnp.bfloat16 if cfg.cache.cache_dtype == "bfloat16" \
+                else jnp.float32
+            if cfg.cache.kv_quant_k:
+                from ..attention.quant_kv_cache import QuantPagedKVCache
+                cache = QuantPagedKVCache.allocate(
+                    cfg.model, cfg.cache, num_blocks, dtype=dtype)
+            else:
+                cache = PagedKVCache.allocate(
+                    cfg.model, cfg.cache, num_blocks, dtype=dtype)
         if mesh is not None:
             from ..parallel.shardings import (
                 TPContext, shard_cache, shard_weights)

@@ -79,3 +79,57 @@ def paged_attention_ref(
     vf = jnp.repeat(vals.astype(jnp.float32), rep, axis=2)
     out = jnp.einsum("thj,tjhd->thd", p, vf)
     return out.astype(q.dtype)
+
+
+def paged_attention_quant_ref(
+    q: jax.Array,                 # [T, q_heads, head_dim]
+    cache,                        # QuantPagedKVCache
+    layer_idx: int,
+    md: AttentionMetadata,
+    *,
+    scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    sinks: Optional[jax.Array] = None,
+    logit_softcap: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention over the TurboQuant-compressed pool: gather
+    codes, dequantize, then the same masked-softmax math as
+    :func:`paged_attention_ref`."""
+    t, qh, d = q.shape
+    kh = cache.num_kv_heads
+    bs = cache.block_size
+    rep = qh // kh
+    if scale is None:
+        scale = d ** -0.5
+    max_kv = md.block_tables.shape[1] * bs
+
+    tables = md.block_tables[md.token_seq_ids]
+    slot_idx = (tables[:, :, None] * bs
+                + jnp.arange(bs)[None, None, :]).reshape(t, max_kv)
+    keys, vals = cache.dequant_gathered(layer_idx, slot_idx, jnp.float32)
+
+    qf = q.astype(jnp.float32)
+    kf = jnp.repeat(keys, rep, axis=2)
+    logits = jnp.einsum("thd,tjhd->thj", qf, kf) * scale
+    if logit_softcap:
+        logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+
+    pos = jnp.arange(max_kv)[None, :]
+    visible = pos < md.token_kv_lens[:, None]
+    if sliding_window is not None:
+        visible &= pos > (md.token_kv_lens[:, None] - 1 - sliding_window)
+    logits = jnp.where(visible[:, None, :], logits, -jnp.inf)
+
+    if sinks is not None:
+        m = jnp.maximum(jnp.max(logits, axis=-1),
+                        sinks.astype(jnp.float32)[None, :])
+        p = jnp.exp(logits - m[:, :, None])
+        denom = p.sum(-1) + jnp.exp(sinks.astype(jnp.float32)[None, :] - m)
+        p = p / denom[:, :, None]
+    else:
+        p = jax.nn.softmax(logits, axis=-1)
+    p = jnp.where(visible[:, None, :], p, 0.0)
+
+    vf = jnp.repeat(vals, rep, axis=2)
+    out = jnp.einsum("thj,tjhd->thd", p, vf)
+    return out.astype(q.dtype)
