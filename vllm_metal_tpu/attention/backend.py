@@ -67,13 +67,49 @@ class PagedAttentionBackend:
     def make_attn_fn(self, cache: PagedKVCache, md: AttentionMetadata,
                      sinks_per_layer: Optional[list] = None
                      ) -> tuple[Callable, Callable[[], PagedKVCache]]:
-        """Returns (attn_fn for model.forward, getter for updated cache)."""
-        cell = [cache]
+        """Returns (runtime for model.forward, getter for updated cache)."""
+        rt = StepRuntime(self, cache, md, sinks_per_layer)
+        return rt, rt.final_cache
 
-        def attn_fn(layer_idx, q, k, v):
-            sinks = (sinks_per_layer[layer_idx]
-                     if sinks_per_layer is not None else None)
-            out, cell[0] = self.attend(layer_idx, q, k, v, cell[0], md, sinks)
-            return out
 
-        return attn_fn, lambda: cell[0]
+class StepRuntime:
+    """Per-step attention runtime handed to the model forward.
+
+    Callable as ``runtime(i, q, k, v)`` for MHA/GQA models; MLA models use
+    :meth:`attend_mla`.  Functional cache state threads through a cell and
+    is retrieved with :meth:`final_cache` after the forward.
+    """
+
+    def __init__(self, backend: PagedAttentionBackend, cache,
+                 md: AttentionMetadata,
+                 sinks_per_layer: Optional[list] = None):
+        self.backend = backend
+        self.md = md
+        self.sinks_per_layer = sinks_per_layer
+        self._cell = [cache]
+
+    def __call__(self, layer_idx, q, k, v):
+        return self.attend(layer_idx, q, k, v)
+
+    def attend(self, layer_idx, q, k, v):
+        sinks = (self.sinks_per_layer[layer_idx]
+                 if self.sinks_per_layer is not None else None)
+        out, self._cell[0] = self.backend.attend(
+            layer_idx, q, k, v, self._cell[0], self.md, sinks)
+        return out
+
+    def attend_mla(self, layer_idx, q_nope, q_rope, c_kv, k_rope, w_uk,
+                   scale):
+        """MLA: write latent rows, attend in compressed space.
+
+        Returns latent-space output [T, H, R] (the model applies W_uv)."""
+        from ..ops.mla_attention import mla_paged_attention_ref
+        cache = self._cell[0].write(layer_idx, c_kv, k_rope,
+                                    self.md.slot_mapping)
+        self._cell[0] = cache
+        return mla_paged_attention_ref(
+            q_nope, q_rope, cache.latents[layer_idx], w_uk, self.md,
+            kv_lora_rank=cache.kv_lora_rank, scale=scale)
+
+    def final_cache(self):
+        return self._cell[0]

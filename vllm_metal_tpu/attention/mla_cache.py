@@ -1,0 +1,61 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Paged latent cache for MLA (DeepSeek-style multi-head latent attention).
+
+TPU analogue of ``MLAPagedLatentCache``
+(``/root/reference/vllm_metal/attention/caches/mla_cache.py:6``): per layer
+one pool of ``[num_blocks, block_size, kv_lora_rank + qk_rope_head_dim]``
+latent rows — the compressed KV (c_kv) concatenated with the shared roped
+key.  All query heads read the same latent row, so there is no kv_heads
+axis; under TP the latent pool is replicated and heads shard the query side.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, ModelConfig
+from ..utils import static_dataclass
+
+
+@static_dataclass(meta_fields=("block_size", "kv_lora_rank"))
+class MLAPagedLatentCache:
+    """latents: [L, num_blocks, block_size, R + rope_dim]."""
+
+    latents: jax.Array
+    block_size: int = 16
+    kv_lora_rank: int = 512
+
+    @property
+    def num_layers(self) -> int:
+        return self.latents.shape[0]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.latents.shape[1]
+
+    @property
+    def rope_dim(self) -> int:
+        return self.latents.shape[3] - self.kv_lora_rank
+
+    @classmethod
+    def allocate(cls, model_cfg: ModelConfig, cache_cfg: CacheConfig,
+                 num_blocks: int, dtype=jnp.bfloat16) -> "MLAPagedLatentCache":
+        width = model_cfg.kv_lora_rank + model_cfg.qk_rope_head_dim
+        shape = (model_cfg.num_layers, num_blocks, cache_cfg.block_size,
+                 width)
+        return cls(latents=jnp.zeros(shape, dtype),
+                   block_size=cache_cfg.block_size,
+                   kv_lora_rank=model_cfg.kv_lora_rank)
+
+    def write(self, layer_idx: int, c_kv: jax.Array, k_rope: jax.Array,
+              slot_mapping: jax.Array) -> "MLAPagedLatentCache":
+        """Scatter latent rows.  c_kv: [T, R]; k_rope: [T, rope_dim]."""
+        l, nb, bs, w = self.latents.shape
+        rows = jnp.concatenate(
+            [c_kv, k_rope], axis=-1).astype(self.latents.dtype)
+        flat = self.latents[layer_idx].reshape(nb * bs, w)
+        flat = flat.at[slot_mapping].set(rows, mode="drop")
+        return MLAPagedLatentCache(
+            latents=self.latents.at[layer_idx].set(flat.reshape(nb, bs, w)),
+            block_size=self.block_size, kv_lora_rank=self.kv_lora_rank)

@@ -69,7 +69,11 @@ class ModelRunner:
             assert num_blocks is not None
             dtype = jnp.bfloat16 if cfg.cache.cache_dtype == "bfloat16" \
                 else jnp.float32
-            if cfg.cache.kv_quant_k:
+            if cfg.model.is_mla:
+                from ..attention.mla_cache import MLAPagedLatentCache
+                cache = MLAPagedLatentCache.allocate(
+                    cfg.model, cfg.cache, num_blocks, dtype=dtype)
+            elif cfg.cache.kv_quant_k:
                 from ..attention.quant_kv_cache import QuantPagedKVCache
                 cache = QuantPagedKVCache.allocate(
                     cfg.model, cfg.cache, num_blocks, dtype=dtype)
@@ -77,6 +81,9 @@ class ModelRunner:
                 cache = PagedKVCache.allocate(
                     cfg.model, cfg.cache, num_blocks, dtype=dtype)
         if mesh is not None:
+            if cfg.model.is_mla:
+                raise NotImplementedError(
+                    "TP for MLA models lands with the MLA kernel pass")
             from ..parallel.shardings import (
                 TPContext, shard_cache, shard_weights)
             tp = mesh.shape[cfg.parallel.tp_axis]
