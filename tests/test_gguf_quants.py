@@ -160,3 +160,33 @@ def test_fp_formats():
     np.testing.assert_array_equal(
         dequantize(np.frombuffer(u16.tobytes(), np.uint8), GGMLType.BF16, (4, 8)),
         want)
+
+
+@pytest.mark.parametrize("qt", [GGMLType.Q4_K, GGMLType.Q4_0])
+def test_native_repack_matches_numpy_q4(qt):
+    from vllm_metal_tpu.gguf.native import pack_affine_q4_native
+    rng = np.random.default_rng(7)
+    n, k = 16, 512
+    raw = QUANTIZERS[qt](rng.standard_normal((n, k)).astype(np.float32))
+    want = pack_affine_q4(raw, qt, (n, k))
+    got = pack_affine_q4_native(raw, qt, (n, k))
+    if got is None:
+        pytest.skip("native toolchain unavailable")
+    np.testing.assert_array_equal(got.packed, want.packed)
+    np.testing.assert_allclose(got.scales, want.scales, rtol=1e-6)
+    np.testing.assert_allclose(got.biases, want.biases, rtol=1e-6)
+
+
+@pytest.mark.parametrize("qt", [GGMLType.Q8_0, GGMLType.Q6_K])
+def test_native_repack_matches_numpy_q8(qt):
+    from vllm_metal_tpu.gguf.native import pack_q8_native
+    rng = np.random.default_rng(8)
+    n, k = 16, 512
+    raw = QUANTIZERS[qt](rng.standard_normal((n, k)).astype(np.float32))
+    want = pack_q8(raw, qt, (n, k))
+    got = pack_q8_native(raw, qt, (n, k))
+    if got is None:
+        pytest.skip("native toolchain unavailable")
+    np.testing.assert_array_equal(got.q, want.q)
+    np.testing.assert_allclose(got.scales, want.scales, rtol=1e-6)
+    assert got.group_size == want.group_size

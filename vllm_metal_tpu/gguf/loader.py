@@ -101,9 +101,14 @@ def load_tensor(f: GGUFFile, name: str, as_linear: bool = True,
             dequantize(raw, t, info.shape).astype(np.float32), dtype=dtype)
     n, k = info.shape
     if t in _Q4_TYPES and k % 256 == 0:
-        return QuantLinear.from_packed(pack_affine_q4(raw, t, (n, k)))
+        from .native import pack_affine_q4_native
+        p = pack_affine_q4_native(raw, t, (n, k)) \
+            or pack_affine_q4(raw, t, (n, k))
+        return QuantLinear.from_packed(p)
     if t in _Q8_TYPES and k % 256 == 0:
-        return QuantLinear.from_packed(pack_q8(raw, t, (n, k)))
+        from .native import pack_q8_native
+        p = pack_q8_native(raw, t, (n, k)) or pack_q8(raw, t, (n, k))
+        return QuantLinear.from_packed(p)
     if t not in _FP_TYPES:
         logger.info("densifying %s (%s, k=%d)", name, t.name, k)
     return QuantLinear.dense(jnp.asarray(

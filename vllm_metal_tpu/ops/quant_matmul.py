@@ -131,9 +131,11 @@ def _q4_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
     packed = w_ref[:]
     tn, khalf = packed.shape
     # unpack nibbles in 32-bit: Mosaic only supports the interleaving
-    # reshape (minor-dim insertion) for 32-bit element types
-    lo = (packed & 0x0F).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
+    # reshape (minor-dim insertion) for 32-bit types, and u8->f32 casts
+    # must route through i32
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 & 0x0F).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
     q = jnp.stack([lo, hi], axis=-1).reshape(tn, khalf * 2)
     # scales arrive transposed [tk//G, tn]
     scale = jnp.repeat(s_ref[:].T.astype(jnp.float32), group_size, axis=-1)
