@@ -92,76 +92,93 @@ inline void k_scale_min(const uint8_t* s, uint8_t* sc, uint8_t* mn) {
 
 extern "C" {
 
-// Q4_K: 144-byte super-blocks of 256 -> packed[128]/super, scales/biases
-// [8]/super (group 32).  Output nibble order: elem 2k low, 2k+1 high.
-void repack_q4k(const uint8_t* raw, int64_t n_super, uint8_t* packed,
-                float* scales, float* biases) {
-  pfor(n_super, [&](int64_t lo, int64_t hi) {
-    uint8_t elems[256];
-    for (int64_t i = lo; i < hi; ++i) {
-      const uint8_t* b = raw + i * 144;
-      float d = fp16_to_f32(load_u16(b));
-      float dmin = fp16_to_f32(load_u16(b + 2));
-      uint8_t sc[8], mn[8];
-      k_scale_min(b + 4, sc, mn);
-      const uint8_t* qs = b + 16;
-      for (int c = 0; c < 4; ++c) {
-        const uint8_t* q = qs + c * 32;
-        for (int l = 0; l < 32; ++l) {
-          elems[c * 64 + l] = q[l] & 0x0F;
-          elems[c * 64 + 32 + l] = q[l] >> 4;
+// Decode one row's worth of GGML 4-bit blocks into elems[0..k), then pack
+// the row in half-split order: byte j = elem j | elem j+k/2 << 4.
+
+// Q4_K: 144-byte super-blocks of 256; rows of k elems (k % 256 == 0).
+void repack_q4k(const uint8_t* raw, int64_t n_rows, int64_t k,
+                uint8_t* packed, float* scales, float* biases) {
+  int64_t supers = k / 256;
+  pfor(n_rows, [&](int64_t rlo, int64_t rhi) {
+    std::vector<uint8_t> elems(k);
+    for (int64_t r = rlo; r < rhi; ++r) {
+      for (int64_t si = 0; si < supers; ++si) {
+        const uint8_t* b = raw + (r * supers + si) * 144;
+        float d = fp16_to_f32(load_u16(b));
+        float dmin = fp16_to_f32(load_u16(b + 2));
+        uint8_t sc[8], mn[8];
+        k_scale_min(b + 4, sc, mn);
+        const uint8_t* qs = b + 16;
+        uint8_t* e = elems.data() + si * 256;
+        for (int c = 0; c < 4; ++c) {
+          const uint8_t* q = qs + c * 32;
+          for (int l = 0; l < 32; ++l) {
+            e[c * 64 + l] = q[l] & 0x0F;
+            e[c * 64 + 32 + l] = q[l] >> 4;
+          }
+        }
+        for (int g = 0; g < 8; ++g) {
+          scales[(r * supers + si) * 8 + g] = d * sc[g];
+          biases[(r * supers + si) * 8 + g] = -dmin * mn[g];
         }
       }
-      uint8_t* po = packed + i * 128;
-      for (int o = 0; o < 128; ++o)
-        po[o] = elems[2 * o] | (elems[2 * o + 1] << 4);
-      for (int g = 0; g < 8; ++g) {
-        scales[i * 8 + g] = d * sc[g];
-        biases[i * 8 + g] = -dmin * mn[g];
-      }
+      uint8_t* po = packed + r * (k / 2);
+      int64_t half = k / 2;
+      for (int64_t o = 0; o < half; ++o)
+        po[o] = elems[o] | (elems[o + half] << 4);
     }
   });
 }
 
-// Q4_0: 18-byte blocks of 32 -> packed[16]/block + scale/bias per block.
-void repack_q4_0(const uint8_t* raw, int64_t n_blocks, uint8_t* packed,
-                 float* scales, float* biases) {
-  pfor(n_blocks, [&](int64_t lo, int64_t hi) {
-    uint8_t elems[32];
-    for (int64_t i = lo; i < hi; ++i) {
-      const uint8_t* b = raw + i * 18;
-      float d = fp16_to_f32(load_u16(b));
-      for (int l = 0; l < 16; ++l) {
-        elems[l] = b[2 + l] & 0x0F;
-        elems[16 + l] = b[2 + l] >> 4;
+// Q4_0: 18-byte blocks of 32; rows of k elems.
+void repack_q4_0(const uint8_t* raw, int64_t n_rows, int64_t k,
+                 uint8_t* packed, float* scales, float* biases) {
+  int64_t blocks = k / 32;
+  pfor(n_rows, [&](int64_t rlo, int64_t rhi) {
+    std::vector<uint8_t> elems(k);
+    for (int64_t r = rlo; r < rhi; ++r) {
+      for (int64_t bi = 0; bi < blocks; ++bi) {
+        const uint8_t* b = raw + (r * blocks + bi) * 18;
+        float d = fp16_to_f32(load_u16(b));
+        uint8_t* e = elems.data() + bi * 32;
+        for (int l = 0; l < 16; ++l) {
+          e[l] = b[2 + l] & 0x0F;
+          e[16 + l] = b[2 + l] >> 4;
+        }
+        scales[r * blocks + bi] = d;
+        biases[r * blocks + bi] = -8.0f * d;
       }
-      uint8_t* po = packed + i * 16;
-      for (int o = 0; o < 16; ++o)
-        po[o] = elems[2 * o] | (elems[2 * o + 1] << 4);
-      scales[i] = d;
-      biases[i] = -8.0f * d;
+      uint8_t* po = packed + r * (k / 2);
+      int64_t half = k / 2;
+      for (int64_t o = 0; o < half; ++o)
+        po[o] = elems[o] | (elems[o + half] << 4);
     }
   });
 }
 
-// Q4_1: 20-byte blocks of 32.
-void repack_q4_1(const uint8_t* raw, int64_t n_blocks, uint8_t* packed,
-                 float* scales, float* biases) {
-  pfor(n_blocks, [&](int64_t lo, int64_t hi) {
-    uint8_t elems[32];
-    for (int64_t i = lo; i < hi; ++i) {
-      const uint8_t* b = raw + i * 20;
-      float d = fp16_to_f32(load_u16(b));
-      float m = fp16_to_f32(load_u16(b + 2));
-      for (int l = 0; l < 16; ++l) {
-        elems[l] = b[4 + l] & 0x0F;
-        elems[16 + l] = b[4 + l] >> 4;
+// Q4_1: 20-byte blocks of 32; rows of k elems.
+void repack_q4_1(const uint8_t* raw, int64_t n_rows, int64_t k,
+                 uint8_t* packed, float* scales, float* biases) {
+  int64_t blocks = k / 32;
+  pfor(n_rows, [&](int64_t rlo, int64_t rhi) {
+    std::vector<uint8_t> elems(k);
+    for (int64_t r = rlo; r < rhi; ++r) {
+      for (int64_t bi = 0; bi < blocks; ++bi) {
+        const uint8_t* b = raw + (r * blocks + bi) * 20;
+        float d = fp16_to_f32(load_u16(b));
+        float m = fp16_to_f32(load_u16(b + 2));
+        uint8_t* e = elems.data() + bi * 32;
+        for (int l = 0; l < 16; ++l) {
+          e[l] = b[4 + l] & 0x0F;
+          e[16 + l] = b[4 + l] >> 4;
+        }
+        scales[r * blocks + bi] = d;
+        biases[r * blocks + bi] = m;
       }
-      uint8_t* po = packed + i * 16;
-      for (int o = 0; o < 16; ++o)
-        po[o] = elems[2 * o] | (elems[2 * o + 1] << 4);
-      scales[i] = d;
-      biases[i] = m;
+      uint8_t* po = packed + r * (k / 2);
+      int64_t half = k / 2;
+      for (int64_t o = 0; o < half; ++o)
+        po[o] = elems[o] | (elems[o + half] << 4);
     }
   });
 }
@@ -218,6 +235,6 @@ void dequant_f16(const uint8_t* raw, int64_t n, float* out) {
   });
 }
 
-int repack_abi_version() { return 1; }
+int repack_abi_version() { return 2; }
 
 }  // extern "C"

@@ -124,7 +124,7 @@ def test_pack_affine_q4_exact(qt):
     p = pack_affine_q4(raw, qt, (n, k))
     lo = (p.packed & 0xF).astype(np.float32)
     hi = (p.packed >> 4).astype(np.float32)
-    q = np.stack([lo, hi], axis=-1).reshape(n, k)
+    q = np.concatenate([lo, hi], axis=-1)  # half-split layout
     scale = p.scales.repeat(32, axis=1)
     bias = p.biases.repeat(32, axis=1)
     np.testing.assert_allclose(q * scale + bias, dense, rtol=0, atol=1e-6)

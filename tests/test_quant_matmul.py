@@ -82,7 +82,7 @@ def test_dequantize_ref_q4_exact_vs_numpy():
     packed = np.asarray(ql.w)
     lo = (packed & 0xF).astype(np.float32)
     hi = (packed >> 4).astype(np.float32)
-    q = np.stack([lo, hi], axis=-1).reshape(8, 64)
+    q = np.concatenate([lo, hi], axis=-1)  # half-split layout
     s = np.asarray(ql.scales, np.float32).T.repeat(32, axis=1)
     b = np.asarray(ql.biases, np.float32).T.repeat(32, axis=1)
     np.testing.assert_allclose(w, q * s + b, rtol=1e-6, atol=1e-6)

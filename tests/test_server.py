@@ -154,3 +154,18 @@ def test_concurrent_requests(client_factory):
             assert d["usage"]["completion_tokens"] >= 1
 
     asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_embeddings_endpoint(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/embeddings", json={"input": "123"})
+        assert r.status == 200
+        data = await r.json()
+        vec = data["data"][0]["embedding"]
+        assert len(vec) == 32  # hidden size of the tiny model
+        n = sum(x * x for x in vec) ** 0.5
+        assert abs(n - 1.0) < 1e-3
+
+    asyncio.run(run_with_client(ae, srv, fn))

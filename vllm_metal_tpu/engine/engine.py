@@ -222,6 +222,30 @@ class LLMEngine:
         return new_tokens, accepted
 
     # ------------------------------------------------------------------
+    def embed(self, prompt_token_ids: list[int]):
+        """Prefill-only embedding: LAST pooling + L2 norm (the reference's
+        text-embedding path, ``/root/reference/vllm_metal/v1/pooling.py``).
+
+        Runs outside the scheduler on temporary blocks."""
+        import numpy as np
+        from .model_runner import SeqStepInput
+        n = len(prompt_token_ids)
+        if n == 0:
+            raise ValueError("empty prompt")
+        rid = f"embed-{next(self._id_counter)}"
+        if not self.bm.allocate(rid, prompt_token_ids):
+            raise RuntimeError("no KV blocks free for embedding request")
+        try:
+            out = self.runner.execute([SeqStepInput(
+                query_tokens=list(prompt_token_ids), context_len=n,
+                block_table=self.bm.get_block_table(rid),
+                params=SamplingParams(max_tokens=1),
+                sample_needed=False)])
+            return np.asarray(out.pooled)[0]
+        finally:
+            self.bm.free(rid)
+
+    # ------------------------------------------------------------------
     def generate(self, prompts: Iterable[list[int]],
                  params: Optional[SamplingParams] = None,
                  max_steps: int = 100_000) -> dict[str, RequestOutput]:

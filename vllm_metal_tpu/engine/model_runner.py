@@ -53,6 +53,8 @@ class StepOutput:
     # (row j of seq i = target's next token after query token
     #  qlen_i-1-spec_window+j) — consumed by spec verify
     verify_tokens: Any = None
+    # [num_seqs, H] LAST-pooled L2-normalized hidden states (embeddings)
+    pooled: Any = None
 
 
 class ModelRunner:
@@ -128,7 +130,12 @@ class ModelRunner:
         def step(weights, cache: PagedKVCache, token_ids: jax.Array,
                  md: AttentionMetadata, st: SamplingTensors,
                  step_idx: jax.Array):
-            attn_fn, get_cache = self.backend.make_attn_fn(cache, md)
+            sinks = None
+            layers = getattr(weights, "layers", None)
+            if layers and getattr(layers[0], "sinks", None) is not None:
+                sinks = [lw.sinks for lw in layers]
+            attn_fn, get_cache = self.backend.make_attn_fn(
+                cache, md, sinks_per_layer=sinks)
             hidden = self.model.forward_hidden(
                 weights, token_ids, md.positions, attn_fn)
             last = md.query_start_loc[1:] - 1          # [S]
@@ -148,7 +155,12 @@ class ModelRunner:
                 logits = self.model.logits(weights, hidden[rows])
                 verify = None
             tokens, logprobs = sample(logits, st, step_idx)
-            return tokens, logprobs, logits, verify, get_cache()
+            # LAST-pooled, L2-normalized hidden per seq (embeddings API;
+            # reference: v1/pooling.py LAST pooling + normalize)
+            pooled_rows = jnp.clip(last, 0, hidden.shape[0] - 1)
+            ph = hidden[pooled_rows].astype(jnp.float32)
+            pooled = ph / jnp.linalg.norm(ph, axis=-1, keepdims=True)
+            return tokens, logprobs, logits, verify, pooled, get_cache()
 
         if self.mesh is None:
             return functools.partial(jax.jit, donate_argnums=(1,))(step)
@@ -163,7 +175,7 @@ class ModelRunner:
         sharded = shard_map(
             step, mesh=self.mesh,
             in_specs=(w_specs, c_specs, P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P(), c_specs),
+            out_specs=(P(), P(), P(), P(), P(), c_specs),
             check_vma=False)
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
@@ -201,7 +213,7 @@ class ModelRunner:
 
         if not hasattr(self, "_step"):
             self._step = self._step_fn()
-        tokens, logprobs, logits, verify, self.cache = self._step(
+        tokens, logprobs, logits, verify, pooled, self.cache = self._step(
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,
             jnp.asarray(self.step_counter, jnp.int32))
         self.step_counter += 1
@@ -210,4 +222,5 @@ class ModelRunner:
                           logprobs=np.asarray(logprobs)[:n],
                           logits=logits[:n],
                           verify_tokens=None if verify is None
-                          else np.asarray(verify)[:n])
+                          else np.asarray(verify)[:n],
+                          pooled=pooled[:n])

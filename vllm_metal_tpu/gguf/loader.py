@@ -150,6 +150,7 @@ def load_llama_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
             bq=opt_vec(p + "attn_q.bias"),
             bk=opt_vec(p + "attn_k.bias"),
             bv=opt_vec(p + "attn_v.bias"),
+            sinks=opt_vec(p + "attn_sinks.weight"),
         )
         if is_gemma:
             kw.update(

@@ -65,14 +65,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(str(path))
-        assert lib.repack_abi_version() == 1
+        assert lib.repack_abi_version() == 2
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i8p = ctypes.POINTER(ctypes.c_int8)
         f32p = ctypes.POINTER(ctypes.c_float)
         i64 = ctypes.c_int64
-        lib.repack_q4k.argtypes = [u8p, i64, u8p, f32p, f32p]
-        lib.repack_q4_0.argtypes = [u8p, i64, u8p, f32p, f32p]
-        lib.repack_q4_1.argtypes = [u8p, i64, u8p, f32p, f32p]
+        lib.repack_q4k.argtypes = [u8p, i64, i64, u8p, f32p, f32p]
+        lib.repack_q4_0.argtypes = [u8p, i64, i64, u8p, f32p, f32p]
+        lib.repack_q4_1.argtypes = [u8p, i64, i64, u8p, f32p, f32p]
         lib.repack_q8_0.argtypes = [u8p, i64, i8p, f32p]
         lib.repack_q6k.argtypes = [u8p, i64, i8p, f32p]
         lib.dequant_f16.argtypes = [u8p, i64, f32p]
@@ -108,13 +108,13 @@ def pack_affine_q4_native(raw: np.ndarray, ggml_type, shape):
     scales = np.empty((n, k // 32), np.float32)
     biases = np.empty((n, k // 32), np.float32)
     if ggml_type == GGMLType.Q4_K:
-        lib.repack_q4k(_u8(raw), n * k // 256, _u8(packed), _f32(scales),
+        lib.repack_q4k(_u8(raw), n, k, _u8(packed), _f32(scales),
                        _f32(biases))
     elif ggml_type == GGMLType.Q4_0:
-        lib.repack_q4_0(_u8(raw), n * k // 32, _u8(packed), _f32(scales),
+        lib.repack_q4_0(_u8(raw), n, k, _u8(packed), _f32(scales),
                         _f32(biases))
     elif ggml_type == GGMLType.Q4_1:
-        lib.repack_q4_1(_u8(raw), n * k // 32, _u8(packed), _f32(scales),
+        lib.repack_q4_1(_u8(raw), n, k, _u8(packed), _f32(scales),
                         _f32(biases))
     else:
         return None

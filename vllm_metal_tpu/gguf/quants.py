@@ -9,9 +9,11 @@ implements the super-block decode itself (Q2_K..Q8_K) and repacks *exactly*
 (no fp round-trip) into two runtime formats consumed by the Pallas fused
 dequant-matmul kernels:
 
-* ``q4``: packed ``uint8 [N, K//2]`` (elem ``2k`` in the low nibble,
-  ``2k+1`` in the high nibble) + per-group ``scales``/``biases``
-  (``w = q * scale + bias``), group size 32.
+* ``q4``: packed ``uint8 [N, K//2]`` in K-half-split order — byte ``j``
+  holds elem ``j`` (low nibble) and elem ``j + K/2`` (high nibble) — plus
+  per-group ``scales``/``biases`` (``w = q * scale + bias``), group 32.
+  The half-split layout lets the TPU kernel unpack with a lane concat
+  (Mosaic has no sub-32-bit interleave), reading each byte exactly once.
 * ``q8``: ``int8 [N, K]`` + per-group ``scales`` (+ optional ``biases``),
   group size 16 or 32.
 
@@ -315,7 +317,7 @@ def dequantize(raw: np.ndarray, ggml_type: GGMLType,
 class PackedQ4:
     """4-bit affine weights: w = q * scale + bias (group of 32 along K)."""
 
-    packed: np.ndarray   # uint8 [N, K//2]; elem 2k low nibble, 2k+1 high
+    packed: np.ndarray   # uint8 [N, K//2]; byte j = elem j | elem j+K/2 << 4
     scales: np.ndarray   # float32 [N, K//32]
     biases: np.ndarray   # float32 [N, K//32]
     group_size: int = 32
@@ -340,11 +342,11 @@ class PackedQ8:
 
 
 def _pack_nibbles(q: np.ndarray) -> np.ndarray:
-    """int8/uint8 [N, K] (values 0..15) -> uint8 [N, K//2] interleaved."""
+    """[N, K] (values 0..15) -> uint8 [N, K//2] half-split: byte j holds
+    elem j (low) and elem j + K/2 (high)."""
     q = q.astype(np.uint8)
-    lo = q[:, 0::2]
-    hi = q[:, 1::2]
-    return (lo | (hi << 4)).astype(np.uint8)
+    half = q.shape[1] // 2
+    return (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
 
 
 def pack_affine_q4(raw: np.ndarray, ggml_type: GGMLType,

@@ -45,6 +45,8 @@ class LlamaLayerWeights:
     bq: Optional[jax.Array] = None         # qwen2 attention biases
     bk: Optional[jax.Array] = None
     bv: Optional[jax.Array] = None
+    # per-head attention sink logits (GPT-OSS style), [num_heads]
+    sinks: Optional[jax.Array] = None
 
 
 @static_dataclass()

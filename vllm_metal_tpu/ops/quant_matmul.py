@@ -81,11 +81,10 @@ class QuantLinear:
 
 
 def _unpack_q4(packed: jax.Array) -> jax.Array:
-    """uint8 [N, K//2] -> int8-valued [N, K] (nibble 2k low, 2k+1 high)."""
+    """uint8 [..., K//2] -> int8-valued [..., K] (half-split layout)."""
     lo = (packed & 0x0F).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)
-    n, kh = packed.shape
-    return jnp.stack([lo, hi], axis=-1).reshape(n, kh * 2)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def _expand_groups(s: jax.Array, group_size: int) -> jax.Array:
@@ -120,29 +119,32 @@ def _pick_tile(dim: int, candidates: tuple[int, ...]) -> int:
     raise ValueError(f"dimension {dim} has no tile among {candidates}")
 
 
-def _q4_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
-               group_size: int):
+def _q4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, b_lo_ref, s_hi_ref,
+               b_hi_ref, o_ref, acc_ref, *, n_k: int, group_size: int):
+    """Half-split q4: each k step consumes tb = tk/2 bytes, yielding the
+    low-half elems [k*tb, (k+1)*tb) and high-half elems [K/2 + k*tb, ...),
+    matched with the corresponding x and scale slices — every byte is read
+    exactly once and the unpack is nibble masks (no interleave)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = w_ref[:]
-    tn, khalf = packed.shape
-    # unpack nibbles in 32-bit: Mosaic only supports the interleaving
-    # reshape (minor-dim insertion) for 32-bit types, and u8->f32 casts
-    # must route through i32
-    p32 = packed.astype(jnp.int32)
+    p32 = w_ref[:].astype(jnp.int32)
     lo = (p32 & 0x0F).astype(jnp.float32)
     hi = (p32 >> 4).astype(jnp.float32)
-    q = jnp.stack([lo, hi], axis=-1).reshape(tn, khalf * 2)
-    # scales arrive transposed [tk//G, tn]
-    scale = jnp.repeat(s_ref[:].T.astype(jnp.float32), group_size, axis=-1)
-    bias = jnp.repeat(b_ref[:].T.astype(jnp.float32), group_size, axis=-1)
-    w = (q * scale + bias).astype(jnp.bfloat16)
+    s_lo = jnp.repeat(s_lo_ref[:].T.astype(jnp.float32), group_size, axis=-1)
+    b_lo = jnp.repeat(b_lo_ref[:].T.astype(jnp.float32), group_size, axis=-1)
+    s_hi = jnp.repeat(s_hi_ref[:].T.astype(jnp.float32), group_size, axis=-1)
+    b_hi = jnp.repeat(b_hi_ref[:].T.astype(jnp.float32), group_size, axis=-1)
+    w_lo = (lo * s_lo + b_lo).astype(jnp.bfloat16)
+    w_hi = (hi * s_hi + b_hi).astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w, (((1,), (1,)), ((), ())),
+        x_lo_ref[:], w_lo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        x_hi_ref[:], w_hi, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
@@ -185,48 +187,74 @@ def _quant_matmul_pallas(x: jax.Array, ql: QuantLinear,
 
     tm = _pick_tile(m, (256, 128, 64, 32, 16, 8))
     tn = _pick_tile(n, (256, 128, 512))
-    tk = _pick_tile(kdim, (512, 256, 128, 1024))
-    n_k = kdim // tk
-
     has_bias = ql.biases is not None
     biases = ql.biases if has_bias else ql.scales  # dummy operand when absent
 
-    if ql.kind == "q4":
-        kernel = functools.partial(_q4_kernel, n_k=n_k, group_size=g)
-        w_spec = pl.BlockSpec((tn, tk // 2), lambda i, j, k: (j, k),
-                              memory_space=pltpu.VMEM)
-    elif ql.kind == "q8":
-        kernel = functools.partial(_q8_kernel, n_k=n_k, group_size=g,
-                                   has_bias=has_bias)
-        w_spec = pl.BlockSpec((tn, tk), lambda i, j, k: (j, k),
-                              memory_space=pltpu.VMEM)
-    else:
-        raise ValueError(ql.kind)
-
-    grid = (m // tm, n // tn, n_k)
     flops = 2 * m * n * kdim
     bytes_accessed = (ql.w.size * ql.w.dtype.itemsize
                       + m * kdim * x.dtype.itemsize + m * n * 2)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            w_spec,
-            pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
-        interpret=interpret,
-    )(x, ql.w, ql.scales, biases)
+    cost = pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                           transcendentals=0)
+
+    if ql.kind == "q4":
+        # k step = tb bytes = tb low elems + tb high elems (half-split)
+        tb = _pick_tile(kdim // 2, (256, 128, 512, 64))
+        n_k = kdim // 2 // tb
+        kernel = functools.partial(_q4_kernel, n_k=n_k, group_size=g)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+            grid=(m // tm, n // tn, n_k),
+            in_specs=[
+                pl.BlockSpec((tm, tb), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),          # x low half
+                pl.BlockSpec((tm, tb), lambda i, j, k, _n=n_k:
+                             (i, k + _n), memory_space=pltpu.VMEM),  # x high
+                pl.BlockSpec((tn, tb), lambda i, j, k: (j, k),
+                             memory_space=pltpu.VMEM),          # bytes
+                pl.BlockSpec((tb // g, tn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),          # s low
+                pl.BlockSpec((tb // g, tn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),          # b low
+                pl.BlockSpec((tb // g, tn), lambda i, j, k, _n=n_k:
+                             (k + _n, j), memory_space=pltpu.VMEM),  # s high
+                pl.BlockSpec((tb // g, tn), lambda i, j, k, _n=n_k:
+                             (k + _n, j), memory_space=pltpu.VMEM),  # b high
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x, x, ql.w, ql.scales, biases, ql.scales, biases)
+
+    if ql.kind == "q8":
+        tk = _pick_tile(kdim, (512, 256, 128, 1024))
+        n_k = kdim // tk
+        kernel = functools.partial(_q8_kernel, n_k=n_k, group_size=g,
+                                   has_bias=has_bias)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+            grid=(m // tm, n // tn, n_k),
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, tk), lambda i, j, k: (j, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x, ql.w, ql.scales, biases)
+
+    raise ValueError(ql.kind)
 
 
 def linear_ref(x: jax.Array, ql: QuantLinear,

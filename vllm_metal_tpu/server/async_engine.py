@@ -59,6 +59,13 @@ class AsyncEngine:
                     self._emit(rid, e)
             elif kind == "abort":
                 self.engine.abort_request(payload)
+            elif kind == "embed":
+                ids, fut = payload
+                try:
+                    vec = self.engine.embed(ids)
+                    self.loop.call_soon_threadsafe(fut.set_result, vec)
+                except Exception as e:
+                    self.loop.call_soon_threadsafe(fut.set_exception, e)
 
     def _emit(self, rid: str, item) -> None:
         q = self._queues.get(rid)
@@ -103,3 +110,12 @@ class AsyncEngine:
     def abort(self, request_id: str) -> None:
         self._in.put(("abort", request_id))
         self._wake.set()
+
+    async def embed(self, prompt_ids: list[int]):
+        """Embedding computed on the engine thread (runner isn't
+        concurrent-safe: the KV pool is donated through each step)."""
+        import asyncio
+        fut = asyncio.get_running_loop().create_future()
+        self._in.put(("embed", (prompt_ids, fut)))
+        self._wake.set()
+        return await fut

@@ -58,6 +58,7 @@ class OpenAIServer:
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/metrics", self.metrics)
         app.router.add_post("/v1/completions", self.completions)
+        app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/tokenize", self.tokenize)
         app.router.add_post("/detokenize", self.detokenize)
@@ -94,6 +95,24 @@ class OpenAIServer:
         ]
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
+
+    async def embeddings(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        inputs = body.get("input", "")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        data = []
+        for i, text in enumerate(inputs):
+            ids = text if isinstance(text, list) else self.tok.encode(text)
+            vec = await self.engine.embed(ids)
+            data.append({"object": "embedding", "index": i,
+                         "embedding": [float(x) for x in vec]})
+        return web.json_response({
+            "object": "list", "data": data, "model": self.model_name,
+            "usage": {"prompt_tokens": sum(
+                len(t) if isinstance(t, list) else len(self.tok.encode(t))
+                for t in inputs), "total_tokens": 0},
+        })
 
     async def tokenize(self, request: web.Request) -> web.Response:
         body = await request.json()
