@@ -114,3 +114,31 @@ def test_spec_nongreedy_requests_not_drafted():
     eng.generate([prompt], SamplingParams(temperature=0.8, seed=1,
                                           max_tokens=6))
     assert eng.num_proposed_drafts == 0
+
+
+def test_draft_model_spec_matches_plain_greedy():
+    """Draft-model SD with the TARGET as its own draft: every draft should
+    be accepted, and output must equal plain greedy decoding."""
+    from vllm_metal_tpu.config import SpecConfig
+    import dataclasses
+
+    prompt = [3, 9, 27, 33, 9, 27]
+    sp = SamplingParams(temperature=0.0, max_tokens=10)
+    plain = make_engine(spec=False, seed=6).generate([prompt], sp)
+
+    eng = make_engine(spec=False, seed=6)
+    eng.cfg = dataclasses.replace(
+        eng.cfg, spec=SpecConfig(method="draft_model",
+                                 num_speculative_tokens=3))
+    eng.runner.spec_window = 3
+    if hasattr(eng.runner, "_step"):
+        del eng.runner._step
+    model = eng.runner.model
+    weights = eng.runner.weights
+    eng.set_draft_model(model, weights, num_blocks=32)
+    spec = eng.generate([prompt], sp)
+
+    assert list(plain.values())[0].token_ids == \
+        list(spec.values())[0].token_ids
+    # self-drafting must accept every draft
+    assert eng.num_accepted_drafts == eng.num_proposed_drafts > 0

@@ -55,6 +55,9 @@ class LLMEngine:
             self.proposer = NgramProposer(
                 ngram_min=cfg.spec.ngram_min, ngram_max=cfg.spec.ngram_max,
                 num_tokens=cfg.spec.num_speculative_tokens)
+        elif cfg.spec.method == "draft_model":
+            # caller installs via set_draft_model() after construction
+            pass
         elif cfg.spec.method:
             raise NotImplementedError(
                 f"speculative method {cfg.spec.method!r}")
@@ -66,6 +69,18 @@ class LLMEngine:
         self.num_cached_prompt_tokens = 0
         self.num_accepted_drafts = 0
         self.num_proposed_drafts = 0
+
+    def set_draft_model(self, draft_model, draft_weights,
+                        num_blocks: int = 128,
+                        use_pallas=None) -> None:
+        """Install a draft-model proposer (spec.method == 'draft_model')."""
+        from ..spec.draft_model import DraftModelProposer
+        import dataclasses
+        dcfg = dataclasses.replace(self.cfg, model=draft_model.cfg)
+        self.proposer = DraftModelProposer(
+            draft_model, draft_weights, dcfg,
+            num_tokens=self.cfg.spec.num_speculative_tokens,
+            num_blocks=num_blocks, use_pallas=use_pallas)
 
     # ------------------------------------------------------------------
     def add_request(self, prompt_token_ids: list[int],

@@ -119,6 +119,23 @@ def _pick_tile(dim: int, candidates: tuple[int, ...]) -> int:
     raise ValueError(f"dimension {dim} has no tile among {candidates}")
 
 
+def _expand_groups_mxu(s_t: jax.Array, group_size: int,
+                       width: int) -> jax.Array:
+    """[G, tn] transposed group scales -> [tn, width] expanded.
+
+    Uses a one-hot matmul (exact: one nonzero per output column) because
+    Mosaic supports neither jnp.repeat's broadcast-reshape nor lane
+    gathers for sub-32-bit-aligned strides.
+    """
+    st = s_t.astype(jnp.float32)
+    g = st.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, width), 1) // group_size
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, width), 0)
+    e = (col == row).astype(jnp.float32)
+    return jax.lax.dot_general(st, e, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _q4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, b_lo_ref, s_hi_ref,
                b_hi_ref, o_ref, acc_ref, *, n_k: int, group_size: int):
     """Half-split q4: each k step consumes tb = tk/2 bytes, yielding the
@@ -134,10 +151,11 @@ def _q4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, b_lo_ref, s_hi_ref,
     p32 = w_ref[:].astype(jnp.int32)
     lo = (p32 & 0x0F).astype(jnp.float32)
     hi = (p32 >> 4).astype(jnp.float32)
-    s_lo = jnp.repeat(s_lo_ref[:].T.astype(jnp.float32), group_size, axis=-1)
-    b_lo = jnp.repeat(b_lo_ref[:].T.astype(jnp.float32), group_size, axis=-1)
-    s_hi = jnp.repeat(s_hi_ref[:].T.astype(jnp.float32), group_size, axis=-1)
-    b_hi = jnp.repeat(b_hi_ref[:].T.astype(jnp.float32), group_size, axis=-1)
+    tb = lo.shape[1]
+    s_lo = _expand_groups_mxu(s_lo_ref[:], group_size, tb)
+    b_lo = _expand_groups_mxu(b_lo_ref[:], group_size, tb)
+    s_hi = _expand_groups_mxu(s_hi_ref[:], group_size, tb)
+    b_hi = _expand_groups_mxu(b_hi_ref[:], group_size, tb)
     w_lo = (lo * s_lo + b_lo).astype(jnp.bfloat16)
     w_hi = (hi * s_hi + b_hi).astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
@@ -161,11 +179,10 @@ def _q8_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = w_ref[:].astype(jnp.float32)
-    scale = jnp.repeat(s_ref[:].T.astype(jnp.float32), group_size, axis=-1)
-    w = q * scale
+    tk = q.shape[1]
+    w = q * _expand_groups_mxu(s_ref[:], group_size, tk)
     if has_bias:
-        w = w + jnp.repeat(b_ref[:].T.astype(jnp.float32), group_size,
-                           axis=-1)
+        w = w + _expand_groups_mxu(b_ref[:], group_size, tk)
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
