@@ -32,7 +32,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_q4(key, n, k, dtype=jnp.float16):
+def make_q4(key, n, k, dtype=jnp.bfloat16):
     """Random packed-q4 weights. Traced inside one jitted build program so
     the whole model materializes in a single device dispatch (the remote
     tunnel makes per-op dispatch latency expensive)."""

@@ -150,6 +150,10 @@ class LLMEngine:
                 chunk = all_ids[start:start + 1] + drafts
             else:
                 chunk = all_ids[start:start + s.num_new_tokens]
+            bitmask = None
+            if req.params.grammar is not None:
+                bitmask = req.params.grammar.next_allowed(
+                    req.output_token_ids)
             inputs.append(SeqStepInput(
                 query_tokens=chunk,
                 context_len=start + len(chunk),
@@ -159,6 +163,7 @@ class LLMEngine:
                 sample_needed=(start + s.num_new_tokens >= req.num_tokens
                                or s.num_draft_tokens > 0),
                 num_draft_tokens=s.num_draft_tokens,
+                token_bitmask=bitmask,
             ))
 
         out = self.runner.execute(inputs)

@@ -42,6 +42,8 @@ class SeqStepInput:
     recent_tokens: list[int] = field(default_factory=list)
     sample_needed: bool = True       # False for incomplete prefill chunks
     num_draft_tokens: int = 0        # trailing speculative tokens to verify
+    # packed uint32 allowed-token mask for this step (None = unconstrained)
+    token_bitmask: Any = None
 
 
 @dataclass
@@ -208,8 +210,16 @@ class ModelRunner:
             r = s.recent_tokens[-window:]
             if r:
                 recent[i, :len(r)] = r
+        bitmask = None
+        if any(s.token_bitmask is not None for s in seqs):
+            nwords = (self.cfg.model.vocab_size + 31) // 32
+            bitmask = np.full((s_pad, nwords), 0xFFFFFFFF, np.uint32)
+            for i, s in enumerate(seqs):
+                if s.token_bitmask is not None:
+                    bitmask[i] = s.token_bitmask
         st = SamplingTensors.from_lists(
-            [s.params for s in seqs], s_pad, recent_tokens=recent)
+            [s.params for s in seqs], s_pad, recent_tokens=recent,
+            token_bitmask=bitmask)
 
         if not hasattr(self, "_step"):
             self._step = self._step_fn()

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
 from ..utils import static_dataclass
 
 GREEDY_EPS = 1e-5  # mirrors reference GREEDY_TEMPERATURE_EPS semantics
@@ -34,10 +36,14 @@ class SamplingTensors:
     frequency_penalty: jax.Array    # f32 [S]; 0.0 -> off
     # [S, W] recent output token ids (-1 pad) for penalty window W
     recent_tokens: jax.Array
+    # packed uint32 allowed-token bitmask [S, ceil(V/32)] (all-ones = free);
+    # None disables the grammar path entirely (static pytree structure)
+    token_bitmask: Optional[jax.Array] = None
 
     @classmethod
     def from_lists(cls, params: list, seq_pad: int,
-                   recent_tokens=None, window: int = 64) -> "SamplingTensors":
+                   recent_tokens=None, window: int = 64,
+                   token_bitmask=None) -> "SamplingTensors":
         import numpy as np
         s = len(params)
         t = np.ones(seq_pad, np.float32)
@@ -66,7 +72,9 @@ class SamplingTensors:
             repetition_penalty=jnp.asarray(rp),
             presence_penalty=jnp.asarray(pp),
             frequency_penalty=jnp.asarray(fp),
-            recent_tokens=jnp.asarray(recent_tokens))
+            recent_tokens=jnp.asarray(recent_tokens),
+            token_bitmask=None if token_bitmask is None
+            else jnp.asarray(token_bitmask))
 
 
 def _apply_penalties(logits: jax.Array, st: SamplingTensors) -> jax.Array:
@@ -117,6 +125,15 @@ def _mask_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
     return jnp.where(keep, logits, -jnp.inf)
 
 
+def _apply_bitmask(logits: jax.Array, words: jax.Array) -> jax.Array:
+    """Grammar mask: words [S, W] uint32, bit t%32 of word t//32 = allowed
+    (the xgrammar wire format the reference consumes)."""
+    s, v = logits.shape
+    bits = (words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    allowed = bits.reshape(s, -1)[:, :v] != 0
+    return jnp.where(allowed, logits, -jnp.inf)
+
+
 def sample(logits: jax.Array, st: SamplingTensors,
            step: jax.Array) -> tuple[jax.Array, jax.Array]:
     """logits [S, V] f32 -> (token_ids [S] i32, logprobs [S] f32).
@@ -126,6 +143,8 @@ def sample(logits: jax.Array, st: SamplingTensors,
     """
     logits = logits.astype(jnp.float32)
     s, v = logits.shape
+    if st.token_bitmask is not None:
+        logits = _apply_bitmask(logits, st.token_bitmask)
     logits = _apply_penalties(logits, st)
 
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)

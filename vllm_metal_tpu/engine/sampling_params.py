@@ -5,7 +5,7 @@ engine supports end-to-end)."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 
 @dataclass
@@ -23,6 +23,9 @@ class SamplingParams:
     seed: Optional[int] = None
     logprobs: Optional[int] = None
     ignore_eos: bool = False
+    # structured output: object with next_allowed(output_tokens) -> packed
+    # uint32 bitmask (see engine/structured_output.py)
+    grammar: Optional[Any] = None
 
     @property
     def greedy(self) -> bool:

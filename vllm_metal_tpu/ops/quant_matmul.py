@@ -61,7 +61,7 @@ class QuantLinear:
         return cls(kind="dense", w=w, scales=None, biases=None)
 
     @classmethod
-    def from_packed(cls, p, dtype=jnp.float16) -> "QuantLinear":
+    def from_packed(cls, p, dtype=jnp.bfloat16) -> "QuantLinear":
         """Build from gguf.quants PackedQ4/PackedQ8 (numpy, [N, K//G]
         scale layout) — transposes scale arrays into kernel layout."""
         import numpy as np
