@@ -85,7 +85,8 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def add_request(self, prompt_token_ids: list[int],
                     params: Optional[SamplingParams] = None,
-                    request_id: Optional[str] = None) -> str:
+                    request_id: Optional[str] = None,
+                    lora_name: Optional[str] = None) -> str:
         if request_id is None:
             request_id = f"req-{next(self._id_counter)}"
         if not prompt_token_ids:
@@ -100,7 +101,10 @@ class LLMEngine:
             prompt_token_ids=list(prompt_token_ids),
             params=params or SamplingParams(),
             eos_token_id=self.eos_token_id,
+            lora_name=lora_name,
         )
+        if lora_name and self.runner.lora_manager is None:
+            raise ValueError("engine has no LoRA manager configured")
         self.requests[request_id] = req
         self.scheduler.add_request(req)
         self.num_prompt_tokens += len(prompt_token_ids)
@@ -154,6 +158,9 @@ class LLMEngine:
             if req.params.grammar is not None:
                 bitmask = req.params.grammar.next_allowed(
                     req.output_token_ids)
+            lora_slot = 0
+            if self.runner.lora_manager is not None:
+                lora_slot = self.runner.lora_manager.slot_for(req.lora_name)
             inputs.append(SeqStepInput(
                 query_tokens=chunk,
                 context_len=start + len(chunk),
@@ -164,6 +171,7 @@ class LLMEngine:
                                or s.num_draft_tokens > 0),
                 num_draft_tokens=s.num_draft_tokens,
                 token_bitmask=bitmask,
+                lora_slot=lora_slot,
             ))
 
         out = self.runner.execute(inputs)

@@ -44,6 +44,7 @@ class SeqStepInput:
     num_draft_tokens: int = 0        # trailing speculative tokens to verify
     # packed uint32 allowed-token mask for this step (None = unconstrained)
     token_bitmask: Any = None
+    lora_slot: int = 0               # 0 = no adapter
 
 
 @dataclass
@@ -64,8 +65,10 @@ class ModelRunner:
                  cache: Optional[PagedKVCache] = None,
                  num_blocks: Optional[int] = None,
                  use_pallas: Optional[bool] = None,
-                 mesh: Optional[Any] = None):
+                 mesh: Optional[Any] = None,
+                 lora_manager: Optional[Any] = None):
         self.model = model
+        self.lora_manager = lora_manager
         self.cfg = cfg
         self.mesh = mesh
         self.backend = PagedAttentionBackend(cfg.model, use_pallas=use_pallas)
@@ -128,18 +131,26 @@ class ModelRunner:
         """
 
         spec_w = self.spec_window
+        use_lora = self.lora_manager is not None
 
         def step(weights, cache: PagedKVCache, token_ids: jax.Array,
                  md: AttentionMetadata, st: SamplingTensors,
-                 step_idx: jax.Array):
+                 step_idx: jax.Array, lora_packs=None, token_slots=None):
             sinks = None
             layers = getattr(weights, "layers", None)
             if layers and getattr(layers[0], "sinks", None) is not None:
                 sinks = [lw.sinks for lw in layers]
             attn_fn, get_cache = self.backend.make_attn_fn(
                 cache, md, sinks_per_layer=sinks)
+            lora_fn = None
+            if use_lora:
+                from ..lora.layers import lora_delta
+
+                def lora_fn(i):
+                    return lambda name, x: lora_delta(
+                        x, lora_packs.get(name), i, token_slots)
             hidden = self.model.forward_hidden(
-                weights, token_ids, md.positions, attn_fn)
+                weights, token_ids, md.positions, attn_fn, lora_fn=lora_fn)
             last = md.query_start_loc[1:] - 1          # [S]
             if spec_w:
                 # last (spec_w + 1) rows per seq for draft verification
@@ -223,9 +234,17 @@ class ModelRunner:
 
         if not hasattr(self, "_step"):
             self._step = self._step_fn()
+        extra = ()
+        if self.lora_manager is not None:
+            slots = np.zeros((t_pad,), np.int32)
+            t0 = 0
+            for s in seqs:
+                slots[t0:t0 + len(s.query_tokens)] = s.lora_slot
+                t0 += len(s.query_tokens)
+            extra = (self.lora_manager.packs, jnp.asarray(slots))
         tokens, logprobs, logits, verify, pooled, self.cache = self._step(
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,
-            jnp.asarray(self.step_counter, jnp.int32))
+            jnp.asarray(self.step_counter, jnp.int32), *extra)
         self.step_counter += 1
         n = len(seqs)
         return StepOutput(token_ids=np.asarray(tokens)[:n],

@@ -33,6 +33,7 @@ class Request:
     eos_token_id: Optional[int] = None
     arrival_time: float = field(default_factory=time.monotonic)
 
+    lora_name: Optional[str] = None
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)
     # KV tokens whose cache entries are valid (prefix-cache hits + computed).

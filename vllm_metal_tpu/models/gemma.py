@@ -58,13 +58,17 @@ class GemmaModel(LlamaModel):
         return LlamaWeights(embedding=base.embedding, layers=layers,
                             final_norm=base.final_norm, lm_head=base.lm_head)
 
-    def layer_qkv(self, lw, x, positions):
+    def layer_qkv(self, lw, x, positions, lora=None):
         cfg = self.cfg
         t = x.shape[0]
         h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps, offset=1.0)
         q = linear(h, lw.wq)
         k = linear(h, lw.wk)
         v = linear(h, lw.wv)
+        if lora is not None:
+            q = q + lora("wq", h)
+            k = k + lora("wk", h)
+            v = v + lora("wv", h)
         q = q.reshape(t, -1, cfg.head_dim)
         k = k.reshape(t, -1, cfg.head_dim)
         v = v.reshape(t, -1, cfg.head_dim)
@@ -77,10 +81,14 @@ class GemmaModel(LlamaModel):
         k = apply_rope(k, positions, self.inv_freq)
         return q, k, v
 
-    def layer_post_attn(self, lw, x, attn_out):
+    def layer_post_attn(self, lw, x, attn_out, lora=None):
         t = x.shape[0]
         cfg = self.cfg
-        a = self.tp.reduce(linear(attn_out.reshape(t, -1), lw.wo))
+        ao = attn_out.reshape(t, -1)
+        o = linear(ao, lw.wo)
+        if lora is not None:
+            o = o + lora("wo", ao)
+        a = self.tp.reduce(o)
         if getattr(lw, "post_attn_norm", None) is not None:
             a = rms_norm(a, lw.post_attn_norm, cfg.rms_norm_eps, offset=1.0)
         x = x + a
@@ -92,11 +100,13 @@ class GemmaModel(LlamaModel):
             m = rms_norm(m, lw.post_ffn_norm, cfg.rms_norm_eps, offset=1.0)
         return x + m
 
-    def forward_hidden(self, weights, token_ids, positions, attn_fn):
+    def forward_hidden(self, weights, token_ids, positions, attn_fn,
+                       lora_fn=None):
         x = self.embed(weights, token_ids)
         for i, lw in enumerate(weights.layers):
-            q, k, v = self.layer_qkv(lw, x, positions)
+            lora = lora_fn(i) if lora_fn is not None else None
+            q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
             attn_out = attn_fn(i, q, k, v)
-            x = self.layer_post_attn(lw, x, attn_out)
+            x = self.layer_post_attn(lw, x, attn_out, lora=lora)
         return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps,
                         offset=1.0)

@@ -110,14 +110,21 @@ class LlamaModel:
         return x
 
     def layer_qkv(self, lw: LlamaLayerWeights, x: jax.Array,
-                  positions: jax.Array):
-        """Project + norm + rope one layer's q, k, v from hidden x [T, H]."""
+                  positions: jax.Array, lora=None):
+        """Project + norm + rope one layer's q, k, v from hidden x [T, H].
+
+        ``lora``: optional callable (target_name, x) -> delta (multi-LoRA).
+        """
         cfg = self.cfg
         t = x.shape[0]
         h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps)
         q = linear(h, lw.wq)
         k = linear(h, lw.wk)
         v = linear(h, lw.wv)
+        if lora is not None:
+            q = q + lora("wq", h)
+            k = k + lora("wk", h)
+            v = v + lora("wv", h)
         if lw.bq is not None:
             q = q + lw.bq.astype(q.dtype)
             k = k + lw.bk.astype(k.dtype)
@@ -134,23 +141,39 @@ class LlamaModel:
         return q, k, v
 
     def layer_post_attn(self, lw: LlamaLayerWeights, x: jax.Array,
-                        attn_out: jax.Array) -> jax.Array:
+                        attn_out: jax.Array, lora=None) -> jax.Array:
         """Residual add + MLP for one layer. attn_out: [T, Hq, D]."""
         t = x.shape[0]
-        x = x + self.tp.reduce(linear(attn_out.reshape(t, -1), lw.wo))
+        ao = attn_out.reshape(t, -1)
+        o = linear(ao, lw.wo)
+        if lora is not None:
+            o = o + lora("wo", ao)
+        x = x + self.tp.reduce(o)
         h = rms_norm(x, lw.mlp_norm, self.cfg.rms_norm_eps)
-        y = self.act(linear(h, lw.gate).astype(jnp.float32)).astype(h.dtype) \
-            * linear(h, lw.up)
-        return x + self.tp.reduce(linear(y, lw.down))
+        gate = linear(h, lw.gate)
+        up = linear(h, lw.up)
+        if lora is not None:
+            gate = gate + lora("gate", h)
+            up = up + lora("up", h)
+        y = self.act(gate.astype(jnp.float32)).astype(h.dtype) * up
+        down = linear(y, lw.down)
+        if lora is not None:
+            down = down + lora("down", y)
+        return x + self.tp.reduce(down)
 
     def forward_hidden(self, weights: LlamaWeights, token_ids: jax.Array,
-                       positions: jax.Array, attn_fn: AttnFn) -> jax.Array:
-        """token_ids [T] -> final hidden states [T, H] (pre-norm applied)."""
+                       positions: jax.Array, attn_fn: AttnFn,
+                       lora_fn=None) -> jax.Array:
+        """token_ids [T] -> final hidden states [T, H] (pre-norm applied).
+
+        ``lora_fn``: optional callable layer_idx -> (name, x) -> delta.
+        """
         x = self.embed(weights, token_ids)
         for i, lw in enumerate(weights.layers):
-            q, k, v = self.layer_qkv(lw, x, positions)
+            lora = lora_fn(i) if lora_fn is not None else None
+            q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
             attn_out = attn_fn(i, q, k, v)
-            x = self.layer_post_attn(lw, x, attn_out)
+            x = self.layer_post_attn(lw, x, attn_out, lora=lora)
         return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps)
 
     def logits(self, weights: LlamaWeights, hidden: jax.Array) -> jax.Array:

@@ -142,7 +142,8 @@ class MLAModel:
         return c_kv, k_rope
 
     def forward_hidden(self, weights: MLAWeights, token_ids: jax.Array,
-                       positions: jax.Array, runtime: Any) -> jax.Array:
+                       positions: jax.Array, runtime: Any,
+                       lora_fn=None) -> jax.Array:
         cfg = self.cfg
         x = self.embed(weights, token_ids)
         for i, lw in enumerate(weights.layers):
