@@ -136,9 +136,11 @@ def bench_decode(runner, cfg, batch: int, ctx: int, steps: int):
     out = runner.execute(decode_step(ctx + 1))
     np.asarray(out.token_ids)
 
+    # pipelined: enqueue every step without host sync (async dispatch
+    # overlaps RPC latency with device execution), block once at the end
     t0 = time.perf_counter()
     for s in range(steps):
-        out = runner.execute(decode_step(ctx + 2 + s))
+        out = runner.execute(decode_step(ctx + 2 + s), sync=False)
     np.asarray(out.token_ids)
     dt = time.perf_counter() - t0
     return batch * steps / dt, dt / steps

@@ -53,7 +53,7 @@ class PagedAttentionBackend:
         if self.use_pallas:
             from ..ops.paged_attention_kernel import paged_attention
             out = paged_attention(
-                q, cache.k[layer_idx], cache.v[layer_idx], md,
+                q, cache.k, cache.v, md, layer_idx,
                 scale=self.scale, sliding_window=window, sinks=sinks,
                 logit_softcap=self.cfg.attn_logit_softcap,
                 interpret=bool(envs.PALLAS_INTERPRET))

@@ -52,24 +52,25 @@ class PagedKVCache:
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    block_size=cache_cfg.block_size)
 
-    def write(self, layer_idx: int, k: jax.Array, v: jax.Array,
+    def write(self, layer_idx, k: jax.Array, v: jax.Array,
               slot_mapping: jax.Array) -> "PagedKVCache":
         """Scatter new K/V rows ([T, kv_heads, head_dim]) into the pool.
 
-        Pad tokens carry slot -1; scatter mode='drop' discards them (the
-        fused-scatter analogue of the reference's ``reshape_and_cache``,
+        ``layer_idx`` may be a Python int or a traced scalar (layer-scan
+        path).  Pad tokens carry slot -1; scatter mode='drop' discards them
+        (the fused-scatter analogue of the reference's ``reshape_and_cache``,
         ``/root/reference/vllm_metal/metal/reshape_and_cache.metal:99``).
         """
         l, kh, nb, bs, d = self.k.shape
-        kl = self.k[layer_idx].reshape(kh, nb * bs, d)
-        vl = self.v[layer_idx].reshape(kh, nb * bs, d)
-        kt = k.astype(kl.dtype).transpose(1, 0, 2)      # [kh, T, d]
-        vt = v.astype(vl.dtype).transpose(1, 0, 2)
-        kl = kl.at[:, slot_mapping].set(kt, mode="drop")
-        vl = vl.at[:, slot_mapping].set(vt, mode="drop")
-        new_k = self.k.at[layer_idx].set(kl.reshape(kh, nb, bs, d))
-        new_v = self.v.at[layer_idx].set(vl.reshape(kh, nb, bs, d))
-        return PagedKVCache(k=new_k, v=new_v, block_size=self.block_size)
+        kt = k.astype(self.k.dtype).transpose(1, 0, 2)  # [kh, T, d]
+        vt = v.astype(self.v.dtype).transpose(1, 0, 2)
+        kf = self.k.reshape(l, kh, nb * bs, d)
+        vf = self.v.reshape(l, kh, nb * bs, d)
+        kf = kf.at[layer_idx, :, slot_mapping].set(kt, mode="drop")
+        vf = vf.at[layer_idx, :, slot_mapping].set(vt, mode="drop")
+        return PagedKVCache(k=kf.reshape(self.k.shape),
+                            v=vf.reshape(self.v.shape),
+                            block_size=self.block_size)
 
     def bytes_per_block(self) -> int:
         l, kh, nb, bs, d = self.k.shape

@@ -193,8 +193,15 @@ class ModelRunner:
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
     # ------------------------------------------------------------------
-    def execute(self, seqs: list[SeqStepInput]) -> StepOutput:
-        """Run one engine step for the given packed batch."""
+    def execute(self, seqs: list[SeqStepInput],
+                sync: bool = True) -> StepOutput:
+        """Run one engine step for the given packed batch.
+
+        ``sync=False`` leaves outputs as device arrays without blocking —
+        callers that don't feed sampled tokens back (benchmarks, spec-free
+        pipelining) can enqueue the next step immediately; XLA dispatch is
+        async, so host-side RPC latency overlaps device execution (the
+        reference's execute_model/sample_tokens split, SURVEY.md §3.2)."""
         assert seqs, "empty step"
         s_pad = self.cfg.scheduler.max_num_seqs
         total_tokens = sum(len(s.query_tokens) for s in seqs)
@@ -247,6 +254,10 @@ class ModelRunner:
             jnp.asarray(self.step_counter, jnp.int32), *extra)
         self.step_counter += 1
         n = len(seqs)
+        if not sync:
+            return StepOutput(token_ids=tokens[:n], logprobs=logprobs[:n],
+                              logits=logits[:n], verify_tokens=verify,
+                              pooled=pooled[:n])
         return StepOutput(token_ids=np.asarray(tokens)[:n],
                           logprobs=np.asarray(logprobs)[:n],
                           logits=logits[:n],

@@ -21,9 +21,15 @@ from ..utils import static_dataclass
 GREEDY_EPS = 1e-5  # mirrors reference GREEDY_TEMPERATURE_EPS semantics
 
 
-@static_dataclass()
+@static_dataclass(meta_fields=("use_topk", "use_topp", "use_minp",
+                               "use_penalties", "all_greedy"))
 class SamplingTensors:
-    """Per-sequence device tensors, padded to [S]."""
+    """Per-sequence device tensors, padded to [S].
+
+    The use_* flags are static (jit cache key): batches that don't use a
+    feature skip its compute entirely — greedy-only decode batches avoid
+    the full-vocab sorts on both compile and run time.
+    """
 
     temperature: jax.Array    # f32 [S]; < GREEDY_EPS -> greedy
     top_p: jax.Array          # f32 [S]; 1.0 -> off
@@ -39,6 +45,11 @@ class SamplingTensors:
     # packed uint32 allowed-token bitmask [S, ceil(V/32)] (all-ones = free);
     # None disables the grammar path entirely (static pytree structure)
     token_bitmask: Optional[jax.Array] = None
+    use_topk: bool = True
+    use_topp: bool = True
+    use_minp: bool = True
+    use_penalties: bool = True
+    all_greedy: bool = False
 
     @classmethod
     def from_lists(cls, params: list, seq_pad: int,
@@ -65,6 +76,13 @@ class SamplingTensors:
             fp[i] = p.frequency_penalty
         if recent_tokens is None:
             recent_tokens = np.full((seq_pad, window), -1, np.int32)
+        use_topk = any(p.top_k > 0 for p in params)
+        use_topp = any(p.top_p < 1.0 for p in params)
+        use_minp = any(p.min_p > 0.0 for p in params)
+        use_penalties = any(
+            p.repetition_penalty != 1.0 or p.presence_penalty != 0.0
+            or p.frequency_penalty != 0.0 for p in params)
+        all_greedy = all(p.greedy for p in params)
         return cls(
             temperature=jnp.asarray(t), top_p=jnp.asarray(tp),
             top_k=jnp.asarray(tk), min_p=jnp.asarray(mp),
@@ -74,7 +92,9 @@ class SamplingTensors:
             frequency_penalty=jnp.asarray(fp),
             recent_tokens=jnp.asarray(recent_tokens),
             token_bitmask=None if token_bitmask is None
-            else jnp.asarray(token_bitmask))
+            else jnp.asarray(token_bitmask),
+            use_topk=use_topk, use_topp=use_topp, use_minp=use_minp,
+            use_penalties=use_penalties, all_greedy=all_greedy)
 
 
 def _apply_penalties(logits: jax.Array, st: SamplingTensors) -> jax.Array:
@@ -145,25 +165,32 @@ def sample(logits: jax.Array, st: SamplingTensors,
     s, v = logits.shape
     if st.token_bitmask is not None:
         logits = _apply_bitmask(logits, st.token_bitmask)
-    logits = _apply_penalties(logits, st)
+    if st.use_penalties:
+        logits = _apply_penalties(logits, st)
 
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp = jnp.maximum(st.temperature, GREEDY_EPS)[:, None]
-    scaled = logits / temp
-    scaled = _mask_top_k(scaled, st.top_k)
-    scaled = _mask_top_p(scaled, st.top_p)
-    scaled = _mask_min_p(scaled, st.min_p)
+    if st.all_greedy:
+        tokens = greedy_tokens
+    else:
+        temp = jnp.maximum(st.temperature, GREEDY_EPS)[:, None]
+        scaled = logits / temp
+        if st.use_topk:
+            scaled = _mask_top_k(scaled, st.top_k)
+        if st.use_topp:
+            scaled = _mask_top_p(scaled, st.top_p)
+        if st.use_minp:
+            scaled = _mask_min_p(scaled, st.min_p)
 
-    def row_gumbel(seed):
-        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
-        key = jax.random.fold_in(key, step)
-        return jax.random.gumbel(key, (v,), jnp.float32)
+        def row_gumbel(seed):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+            key = jax.random.fold_in(key, step)
+            return jax.random.gumbel(key, (v,), jnp.float32)
 
-    gumbel = jax.vmap(row_gumbel)(st.seeds)
-    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
-
-    tokens = jnp.where(st.temperature < GREEDY_EPS, greedy_tokens, sampled)
+        gumbel = jax.vmap(row_gumbel)(st.seeds)
+        sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+        tokens = jnp.where(st.temperature < GREEDY_EPS, greedy_tokens,
+                           sampled)
     logprobs_all = jax.nn.log_softmax(logits, axis=-1)
     chosen_logprob = jnp.take_along_axis(
         logprobs_all, tokens[:, None], axis=-1)[:, 0]

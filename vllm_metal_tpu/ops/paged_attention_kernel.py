@@ -39,7 +39,7 @@ NEG_INF = -1e30
 
 def _kernel(
     # scalar prefetch
-    qsl, ctx, tile_first_seq, block_tables,
+    layer, qsl, ctx, tile_first_seq, block_tables,
     # inputs (q/out blocked by Mosaic; caches stay in HBM)
     q_blk, k_hbm, v_hbm, sinks_smem,
     # outputs
@@ -67,13 +67,15 @@ def _kernel(
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, KV_TILE), 0)
 
+    li = layer[0]
+
     def tile_dma(seq, tile, slot, ref_hbm, buf, sem):
         copies = []
         for ci in range(c):
             blk_idx = jnp.minimum(tile * c + ci, mb - 1)
             blk = block_tables[seq, blk_idx]
             copies.append(pltpu.make_async_copy(
-                ref_hbm.at[h, blk],
+                ref_hbm.at[li, h, blk],
                 buf.at[slot, pl.ds(ci * bs, bs), :],
                 sem.at[slot, ci]))
         return copies
@@ -173,9 +175,10 @@ def _kernel(
                      "interpret"))
 def _paged_attention_call(
     q_t: jax.Array,            # [kvh, G, T', d] bf16 (T' multiple of bq)
-    k_cache: jax.Array,        # [kvh, nb, bs, d]
+    k_cache: jax.Array,        # [L, kvh, nb, bs, d] (stacked layer pools)
     v_cache: jax.Array,
     sinks: Optional[jax.Array],         # [qh] f32 or None
+    layer: jax.Array,          # [1] layer index into the stacked pools
     qsl: jax.Array,            # [S+1] query_start_loc
     ctx: jax.Array,            # [S] context lens
     tile_first_seq: jax.Array,  # [T'/bq]
@@ -188,7 +191,7 @@ def _paged_attention_call(
     interpret: bool,
 ) -> jax.Array:
     kvh, g, t2, d = q_t.shape
-    _, nb, bs, _ = k_cache.shape
+    _, _, nb, bs, _ = k_cache.shape
     assert KV_TILE % bs == 0, (KV_TILE, bs)
     assert t2 % bq == 0
     n_tiles = t2 // bq
@@ -204,7 +207,7 @@ def _paged_attention_call(
         has_sinks=has_sinks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(kvh, n_tiles),
         in_specs=[
             pl.BlockSpec((1, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
@@ -231,15 +234,16 @@ def _paged_attention_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kvh, g, t2, d), q_t.dtype),
         interpret=interpret,
-    )(qsl, ctx, tile_first_seq, block_tables,
+    )(layer, qsl, ctx, tile_first_seq, block_tables,
       q_t, k_cache, v_cache, sinks_arr)
 
 
 def paged_attention(
     q: jax.Array,              # [T, qh, d]
-    k_cache: jax.Array,        # [kvh, nb, bs, d]
+    k_cache: jax.Array,        # [L, kvh, nb, bs, d] stacked pools
     v_cache: jax.Array,
     md,                        # AttentionMetadata
+    layer_idx=0,               # int or traced scalar
     *,
     scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
@@ -249,7 +253,7 @@ def paged_attention(
     bq: int = DEFAULT_BQ,
 ) -> jax.Array:
     t, qh, d = q.shape
-    kvh = k_cache.shape[0]
+    kvh = k_cache.shape[1]
     g = qh // kvh
     if scale is None:
         scale = d ** -0.5
@@ -257,8 +261,9 @@ def paged_attention(
     qp = jnp.pad(q, ((0, t2 - t), (0, 0), (0, 0))) if t2 != t else q
     q_t = qp.reshape(t2, kvh, g, d).transpose(1, 2, 0, 3)
 
+    layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     out_t = _paged_attention_call(
-        q_t.astype(jnp.bfloat16), k_cache, v_cache, sinks,
+        q_t.astype(jnp.bfloat16), k_cache, v_cache, sinks, layer,
         md.query_start_loc, md.context_lens, md.tile_first_seq,
         md.block_tables,
         scale=float(scale), sliding_window=sliding_window,
