@@ -35,9 +35,11 @@ def setup_case(query_lens, context_lens, *, qh=4, kvh=2, d=128, bs=32,
         block_tables=tables, block_size=bs, token_pad=token_pad,
         seq_pad=seq_pad, max_blocks_per_seq=mb)
 
-    k_cache = jnp.asarray(rng.standard_normal((kvh, nb, bs, d)),
+    # stacked 2-layer pools: the kernel reads layer 1 (also covers the
+    # traced layer-index path); layer 0 is decoy data
+    k_cache = jnp.asarray(rng.standard_normal((2, kvh, nb, bs, d)),
                           dtype=jnp.float32).astype(jnp.bfloat16)
-    v_cache = jnp.asarray(rng.standard_normal((kvh, nb, bs, d)),
+    v_cache = jnp.asarray(rng.standard_normal((2, kvh, nb, bs, d)),
                           dtype=jnp.float32).astype(jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((token_pad, qh, d)),
                     dtype=jnp.float32).astype(jnp.bfloat16)
@@ -45,8 +47,8 @@ def setup_case(query_lens, context_lens, *, qh=4, kvh=2, d=128, bs=32,
 
 
 def run_both(q, k, v, md, **kw):
-    want = paged_attention_ref(q, k, v, md, **kw)
-    got = paged_attention(q, k, v, md, interpret=True, **kw)
+    want = paged_attention_ref(q, k[1], v[1], md, **kw)
+    got = paged_attention(q, k, v, md, layer_idx=1, interpret=True, **kw)
     return got, want
 
 

@@ -155,3 +155,34 @@ def test_sliding_window_paged_matches_dense():
         query_tokens=prompt, context_len=len(prompt), block_table=[2, 3],
         params=SamplingParams(temperature=0.0))])
     check_matches_dense(out, 0, model, weights, prompt, cfg=cfg_sw)
+
+
+def test_scan_layers_matches_unrolled(model_and_weights):
+    """lax.scan forward must match the unrolled python-loop forward."""
+    import dataclasses
+    model, weights = model_and_weights
+    cfg = make_engine_cfg()
+    r_loop = ModelRunner(model, weights, cfg, num_blocks=16,
+                         use_pallas=False)
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, scan_layers=True))
+    model2 = LlamaModel(cfg2.model)
+    r_scan = ModelRunner(model2, weights, cfg2, num_blocks=16,
+                         use_pallas=False)
+    assert not isinstance(r_scan.weights.layers, list)  # stacked
+
+    prompt = [5, 17, 93, 40, 7]
+    seq = SeqStepInput(query_tokens=prompt, context_len=len(prompt),
+                       block_table=[3, 7], params=greedy_params())
+    o1 = r_loop.execute([seq])
+    o2 = r_scan.execute([seq])
+    np.testing.assert_allclose(np.asarray(o1.logits), np.asarray(o2.logits),
+                               atol=0.02, rtol=0.02)
+    # decode steps too
+    t = int(o1.token_ids[0])
+    s2 = SeqStepInput(query_tokens=[t], context_len=len(prompt) + 1,
+                      block_table=[3, 7], params=greedy_params())
+    o1 = r_loop.execute([s2])
+    o2 = r_scan.execute([s2])
+    np.testing.assert_allclose(np.asarray(o1.logits), np.asarray(o2.logits),
+                               atol=0.02, rtol=0.02)

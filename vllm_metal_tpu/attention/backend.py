@@ -42,7 +42,13 @@ class PagedAttentionBackend:
         """Write k/v into the pool, then attend q against the pool."""
         from .quant_kv_cache import QuantPagedKVCache
         cache = cache.write(layer_idx, k, v, md.slot_mapping)
-        window = self.cfg.layer_sliding_window(layer_idx)
+        if isinstance(layer_idx, int):
+            window = self.cfg.layer_sliding_window(layer_idx)
+        else:
+            # traced layer index (scan path): per-layer window dispatch is
+            # impossible, so the config must be uniform
+            assert self.cfg.sliding_window_pattern is None
+            window = self.cfg.sliding_window
         if isinstance(cache, QuantPagedKVCache):
             from ..ops.paged_attention import paged_attention_quant_ref
             out = paged_attention_quant_ref(

@@ -62,12 +62,14 @@ class PagedKVCache:
         ``/root/reference/vllm_metal/metal/reshape_and_cache.metal:99``).
         """
         l, kh, nb, bs, d = self.k.shape
-        kt = k.astype(self.k.dtype).transpose(1, 0, 2)  # [kh, T, d]
-        vt = v.astype(self.v.dtype).transpose(1, 0, 2)
         kf = self.k.reshape(l, kh, nb * bs, d)
         vf = self.v.reshape(l, kh, nb * bs, d)
-        kf = kf.at[layer_idx, :, slot_mapping].set(kt, mode="drop")
-        vf = vf.at[layer_idx, :, slot_mapping].set(vt, mode="drop")
+        # advanced indices (layer scalar, slots [T]) straddle the ':' slice,
+        # so the indexed axes move to the front: value layout is [T, kh, d]
+        kf = kf.at[layer_idx, :, slot_mapping].set(
+            k.astype(self.k.dtype), mode="drop")
+        vf = vf.at[layer_idx, :, slot_mapping].set(
+            v.astype(self.v.dtype), mode="drop")
         return PagedKVCache(k=kf.reshape(self.k.shape),
                             v=vf.reshape(self.v.shape),
                             block_size=self.block_size)

@@ -57,6 +57,9 @@ class ModelConfig:
     hidden_act: str = "silu"
     # gemma-style embedding scaling by sqrt(hidden)
     scale_embeddings: bool = False
+    # lax.scan over stacked layers (compile once per layer instead of per
+    # model); None = auto (uniform-window non-MLA models with >= 4 layers)
+    scan_layers: Optional[bool] = None
     # extra per-arch fields
     extra: dict[str, Any] = field(default_factory=dict)
 

@@ -103,6 +103,19 @@ class ModelRunner:
                 model.tp = TPContext(cfg.parallel.tp_axis, tp)
             weights = shard_weights(weights, mesh)
             cache = shard_cache(cache, mesh)
+        scan = cfg.model.scan_layers
+        if scan is None:
+            scan = (cfg.model.num_layers >= 4
+                    and not cfg.model.is_mla
+                    and not cfg.cache.kv_quant_k
+                    and cfg.model.sliding_window_pattern is None
+                    and mesh is None
+                    and hasattr(model, "stack_layers")
+                    and isinstance(getattr(weights, "layers", None), list))
+        if scan and isinstance(getattr(weights, "layers", None), list):
+            logger.info("stacking %d layers for lax.scan forward",
+                        cfg.model.num_layers)
+            weights = model.stack_layers(weights)
         self.weights = weights
         self.cache = cache
         self.max_blocks_per_seq = max(
@@ -138,8 +151,10 @@ class ModelRunner:
                  step_idx: jax.Array, lora_packs=None, token_slots=None):
             sinks = None
             layers = getattr(weights, "layers", None)
-            if layers and getattr(layers[0], "sinks", None) is not None:
+            if isinstance(layers, (list, tuple)) and layers \
+                    and getattr(layers[0], "sinks", None) is not None:
                 sinks = [lw.sinks for lw in layers]
+            # (stacked layers carry sinks inside the scan body instead)
             attn_fn, get_cache = self.backend.make_attn_fn(
                 cache, md, sinks_per_layer=sinks)
             lora_fn = None

@@ -167,7 +167,14 @@ class LlamaModel:
         """token_ids [T] -> final hidden states [T, H] (pre-norm applied).
 
         ``lora_fn``: optional callable layer_idx -> (name, x) -> delta.
+        When ``weights.layers`` is a stacked LlamaLayerWeights (leaves
+        [L, ...]) the layers run under lax.scan — one compiled layer body
+        instead of an unrolled graph (the net-new compile-time design the
+        reference never needed, SURVEY.md §7 "hard parts").
         """
+        if not isinstance(weights.layers, (list, tuple)):
+            return self._forward_scan(weights, token_ids, positions,
+                                      attn_fn, lora_fn)
         x = self.embed(weights, token_ids)
         for i, lw in enumerate(weights.layers):
             lora = lora_fn(i) if lora_fn is not None else None
@@ -175,6 +182,41 @@ class LlamaModel:
             attn_out = attn_fn(i, q, k, v)
             x = self.layer_post_attn(lw, x, attn_out, lora=lora)
         return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps)
+
+    def _forward_scan(self, weights, token_ids, positions, runtime,
+                      lora_fn=None) -> jax.Array:
+        """lax.scan over stacked layers; the KV cache rides the carry so
+        updates stay in-place across iterations (XLA while-loop aliasing).
+        Requires a uniform per-layer config (no alternating windows) and the
+        StepRuntime attention seam (not a bare attn_fn)."""
+        cfg = self.cfg
+        assert cfg.sliding_window_pattern is None, \
+            "scan path needs a uniform sliding-window config"
+        backend = runtime.backend
+        md = runtime.md
+        x = self.embed(weights, token_ids)
+        cache0 = runtime.final_cache()
+
+        def body(carry, lw):
+            x, cache, i = carry
+            lora = lora_fn(i) if lora_fn is not None else None
+            q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
+            sinks = getattr(lw, "sinks", None)
+            out, cache = backend.attend(i, q, k, v, cache, md, sinks)
+            x = self.layer_post_attn(lw, x, out, lora=lora)
+            return (x, cache, i + 1), None
+
+        (x, cache, _), _ = jax.lax.scan(
+            body, (x, cache0, jnp.int32(0)), weights.layers)
+        runtime._cell[0] = cache
+        return rms_norm(x, weights.final_norm, cfg.rms_norm_eps)
+
+    @staticmethod
+    def stack_layers(weights: LlamaWeights) -> LlamaWeights:
+        """Stack per-layer weight trees into leading-[L] leaves (scan)."""
+        import dataclasses
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *weights.layers)
+        return dataclasses.replace(weights, layers=stacked)
 
     def logits(self, weights: LlamaWeights, hidden: jax.Array) -> jax.Array:
         head = weights.lm_head if weights.lm_head is not None \
