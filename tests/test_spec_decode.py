@@ -142,3 +142,28 @@ def test_draft_model_spec_matches_plain_greedy():
         list(spec.values())[0].token_ids
     # self-drafting must accept every draft
     assert eng.num_accepted_drafts == eng.num_proposed_drafts > 0
+
+
+def test_mtp_spec_decode_runs_and_matches_greedy():
+    """MTP drafting must preserve exact greedy output (drafts are verified;
+    wrong drafts just cost a wasted row)."""
+    from vllm_metal_tpu.config import SpecConfig
+    from vllm_metal_tpu.spec.mtp import init_mtp_head
+    import dataclasses
+
+    prompt = [3, 9, 27, 33, 9, 27, 3, 9]
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    plain = make_engine(spec=False, seed=8).generate([prompt], sp)
+
+    eng = make_engine(spec=False, seed=8)
+    eng.cfg = dataclasses.replace(
+        eng.cfg, spec=SpecConfig(method="mtp", num_speculative_tokens=1))
+    eng.runner.spec_window = 1
+    if hasattr(eng.runner, "_step"):
+        del eng.runner._step
+    head = init_mtp_head(CFG, jax.random.PRNGKey(42))
+    eng.set_mtp_head(head)
+    spec = eng.generate([prompt], sp)
+    assert list(plain.values())[0].token_ids == \
+        list(spec.values())[0].token_ids
+    assert eng.num_proposed_drafts > 0

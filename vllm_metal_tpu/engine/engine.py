@@ -55,8 +55,8 @@ class LLMEngine:
             self.proposer = NgramProposer(
                 ngram_min=cfg.spec.ngram_min, ngram_max=cfg.spec.ngram_max,
                 num_tokens=cfg.spec.num_speculative_tokens)
-        elif cfg.spec.method == "draft_model":
-            # caller installs via set_draft_model() after construction
+        elif cfg.spec.method in ("draft_model", "mtp"):
+            # caller installs via set_draft_model() / set_mtp_head()
             pass
         elif cfg.spec.method:
             raise NotImplementedError(
@@ -69,6 +69,12 @@ class LLMEngine:
         self.num_cached_prompt_tokens = 0
         self.num_accepted_drafts = 0
         self.num_proposed_drafts = 0
+
+    def set_mtp_head(self, head_weights) -> None:
+        """Install an MTP draft head (spec.method == 'mtp')."""
+        from ..spec.mtp import MTPProposer
+        self.proposer = MTPProposer(self.runner.model, head_weights,
+                                    self.runner)
 
     def set_draft_model(self, draft_model, draft_weights,
                         num_blocks: int = 128,
@@ -130,8 +136,16 @@ class LLMEngine:
                 continue  # greedy-only, like the reference
             if req.num_computed_tokens != req.num_tokens - 1:
                 continue  # still prefilling
-            drafts = self.proposer.propose(
-                req.request_id, req.all_token_ids)[:w]
+            from ..spec.mtp import MTPProposer
+            if isinstance(self.proposer, MTPProposer):
+                if req.last_hidden is None:
+                    continue
+                drafts = self.proposer.propose_from_state(
+                    req.all_token_ids, req.last_hidden,
+                    self.bm.get_block_table(req.request_id))[:w]
+            else:
+                drafts = self.proposer.propose(
+                    req.request_id, req.all_token_ids)[:w]
             if drafts:
                 self._drafts[req.request_id] = drafts
                 counts[req.request_id] = len(drafts)
@@ -207,6 +221,9 @@ class LLMEngine:
                     break
             if req.first_token_time is None:
                 req.first_token_time = now
+            if self.proposer is not None and out.hidden is not None:
+                import numpy as np
+                req.last_hidden = np.asarray(out.hidden[i])
             # commit after appending so block hashes cover real tokens
             # (spec-accepted tokens only exist in all_token_ids now); clamp
             # to num_tokens — a stop can truncate below the KV watermark

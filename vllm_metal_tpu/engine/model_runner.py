@@ -58,6 +58,8 @@ class StepOutput:
     verify_tokens: Any = None
     # [num_seqs, H] LAST-pooled L2-normalized hidden states (embeddings)
     pooled: Any = None
+    # [num_seqs, H] raw final hidden states at the last row (MTP input)
+    hidden: Any = None
 
 
 class ModelRunner:
@@ -186,9 +188,11 @@ class ModelRunner:
             # LAST-pooled, L2-normalized hidden per seq (embeddings API;
             # reference: v1/pooling.py LAST pooling + normalize)
             pooled_rows = jnp.clip(last, 0, hidden.shape[0] - 1)
-            ph = hidden[pooled_rows].astype(jnp.float32)
+            hrows = hidden[pooled_rows]
+            ph = hrows.astype(jnp.float32)
             pooled = ph / jnp.linalg.norm(ph, axis=-1, keepdims=True)
-            return tokens, logprobs, logits, verify, pooled, get_cache()
+            return tokens, logprobs, logits, verify, pooled, hrows, \
+                get_cache()
 
         if self.mesh is None:
             return functools.partial(jax.jit, donate_argnums=(1,))(step)
@@ -203,7 +207,7 @@ class ModelRunner:
         sharded = shard_map(
             step, mesh=self.mesh,
             in_specs=(w_specs, c_specs, P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P(), P(), c_specs),
+            out_specs=(P(), P(), P(), P(), P(), P(), c_specs),
             check_vma=False)
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
@@ -264,7 +268,8 @@ class ModelRunner:
                 slots[t0:t0 + len(s.query_tokens)] = s.lora_slot
                 t0 += len(s.query_tokens)
             extra = (self.lora_manager.packs, jnp.asarray(slots))
-        tokens, logprobs, logits, verify, pooled, self.cache = self._step(
+        tokens, logprobs, logits, verify, pooled, hrows, self.cache = \
+            self._step(
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,
             jnp.asarray(self.step_counter, jnp.int32), *extra)
         self.step_counter += 1
@@ -272,10 +277,10 @@ class ModelRunner:
         if not sync:
             return StepOutput(token_ids=tokens[:n], logprobs=logprobs[:n],
                               logits=logits[:n], verify_tokens=verify,
-                              pooled=pooled[:n])
+                              pooled=pooled[:n], hidden=hrows[:n])
         return StepOutput(token_ids=np.asarray(tokens)[:n],
                           logprobs=np.asarray(logprobs)[:n],
                           logits=logits[:n],
                           verify_tokens=None if verify is None
                           else np.asarray(verify)[:n],
-                          pooled=pooled[:n])
+                          pooled=pooled[:n], hidden=hrows[:n])

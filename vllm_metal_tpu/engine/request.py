@@ -44,6 +44,8 @@ class Request:
     # number of draft tokens accepted last step (spec decode metrics)
     num_accepted_drafts: int = 0
     first_token_time: Optional[float] = None
+    # target's final hidden state at the last sampled row (MTP drafting)
+    last_hidden: Optional[object] = None
 
     @property
     def num_prompt_tokens(self) -> int:
