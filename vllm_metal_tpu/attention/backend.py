@@ -117,5 +117,26 @@ class StepRuntime:
             q_nope, q_rope, cache.latents[layer_idx], w_uk, self.md,
             kv_lora_rank=cache.kv_lora_rank, scale=scale)
 
+    def attend_hybrid(self, attn_pos: int, q, k, v):
+        """Full-attention layer of a hybrid model (cache is HybridCache;
+        attn_pos indexes the attention-layer KV pools)."""
+        import dataclasses
+        cache = self._cell[0]
+        out, new_kv = self.backend.attend(
+            attn_pos, q, k, v, cache.kv, self.md, None)
+        self._cell[0] = dataclasses.replace(cache, kv=new_kv)
+        return out
+
+    def gdn_state(self, gdn_pos: int):
+        c = self._cell[0]
+        return c.conv[gdn_pos], c.rec[gdn_pos]
+
+    def set_gdn_state(self, gdn_pos: int, conv, rec):
+        import dataclasses
+        c = self._cell[0]
+        self._cell[0] = dataclasses.replace(
+            c, conv=c.conv.at[gdn_pos].set(conv),
+            rec=c.rec.at[gdn_pos].set(rec))
+
     def final_cache(self):
         return self._cell[0]

@@ -50,6 +50,8 @@ class AttentionMetadata:
     num_tokens: jax.Array
     # [ceil(T / KERNEL_BQ)] first sequence overlapping each kernel q tile.
     tile_first_seq: jax.Array
+    # [S] per-request recurrent-state slot (hybrid GDN models).
+    seq_state_slots: jax.Array
     max_num_seqs: int = 0
     max_blocks_per_seq: int = 0
 
@@ -63,6 +65,7 @@ def build_metadata(
     token_pad: int,
     seq_pad: int,
     max_blocks_per_seq: int,
+    state_slots: Optional[list[int]] = None,
 ) -> AttentionMetadata:
     """Host-side batch assembly (numpy), then device put.
 
@@ -100,6 +103,10 @@ def build_metadata(
         qsl[i + 1] = t
     qsl[s + 1:] = t
 
+    slots_arr = np.arange(seq_pad, dtype=np.int32)
+    if state_slots is not None:
+        slots_arr[:len(state_slots)] = state_slots
+
     n_tiles = -(-token_pad // KERNEL_BQ)
     tile_first_seq = np.full((n_tiles,), s, np.int32)
     for ti in range(n_tiles):
@@ -117,6 +124,7 @@ def build_metadata(
         num_seqs=jax.numpy.asarray(s, jax.numpy.int32),
         num_tokens=jax.numpy.asarray(total, jax.numpy.int32),
         tile_first_seq=jax.numpy.asarray(tile_first_seq),
+        seq_state_slots=jax.numpy.asarray(slots_arr),
         max_num_seqs=seq_pad,
         max_blocks_per_seq=max_blocks_per_seq,
     )

@@ -62,6 +62,14 @@ class LLMEngine:
             raise NotImplementedError(
                 f"speculative method {cfg.spec.method!r}")
         self._drafts: dict[str, list[int]] = {}
+        # stable recurrent-state slots for hybrid (GDN) models
+        self._is_hybrid = hasattr(self.runner.cache, "reset_slots")
+        self._state_slots: dict[str, int] = {}
+        self._free_slots = list(range(cfg.scheduler.max_num_seqs))
+        if self._is_hybrid and cfg.cache.enable_prefix_caching:
+            # recurrent state cannot be rebuilt from KV blocks
+            # (reference guard: platform.py:487-495)
+            self.bm.enable_prefix_caching = False
         # metrics
         self.num_prompt_tokens = 0
         self.num_generated_tokens = 0
@@ -151,10 +159,27 @@ class LLMEngine:
                 counts[req.request_id] = len(drafts)
         return counts
 
+    def _state_slot_for(self, req) -> tuple[int, bool]:
+        """(slot, is_fresh) — stable per-request GDN state slot."""
+        rid = req.request_id
+        if rid in self._state_slots:
+            return self._state_slots[rid], False
+        slot = self._free_slots.pop(0)
+        self._state_slots[rid] = slot
+        return slot, True
+
+    def _release_state_slot(self, rid: str) -> None:
+        slot = self._state_slots.pop(rid, None)
+        if slot is not None:
+            self._free_slots.append(slot)
+
     def step(self) -> list[RequestOutput]:
         draft_counts = self._propose_drafts()
         sched = self.scheduler.schedule(num_draft_tokens=draft_counts)
         self.num_preemptions += len(sched.preempted)
+        if self._is_hybrid:
+            for victim in sched.preempted:
+                self._release_state_slot(victim.request_id)
         if not sched.scheduled:
             return []
 
@@ -175,6 +200,9 @@ class LLMEngine:
             lora_slot = 0
             if self.runner.lora_manager is not None:
                 lora_slot = self.runner.lora_manager.slot_for(req.lora_name)
+            state_slot, fresh = (-1, False)
+            if self._is_hybrid:
+                state_slot, fresh = self._state_slot_for(req)
             inputs.append(SeqStepInput(
                 query_tokens=chunk,
                 context_len=start + len(chunk),
@@ -186,6 +214,8 @@ class LLMEngine:
                 num_draft_tokens=s.num_draft_tokens,
                 token_bitmask=bitmask,
                 lora_slot=lora_slot,
+                state_slot=state_slot,
+                reset_state=fresh,
             ))
 
         out = self.runner.execute(inputs)
@@ -235,6 +265,7 @@ class LLMEngine:
                 self.scheduler.finish_request(req, stop)
                 self.requests.pop(req.request_id, None)
                 self._drafts.pop(req.request_id, None)
+                self._release_state_slot(req.request_id)
                 if self.proposer is not None:
                     self.proposer.release(req.request_id)
             results.append(RequestOutput(

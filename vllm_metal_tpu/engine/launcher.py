@@ -60,18 +60,30 @@ def build_engine(model_path: str,
     from .model_runner import ModelRunner
     from .tokenizer import from_gguf, from_hf
 
-    if not model_path.endswith(".gguf"):
-        raise ValueError("only GGUF checkpoints are supported currently")
-
-    model, weights, mcfg = load_model(model_path)
+    import os
+    if model_path.endswith(".gguf"):
+        model, weights, mcfg = load_model(model_path)
+        tok = from_hf(tokenizer_path) if tokenizer_path \
+            else from_gguf(GGUFFile(model_path))
+    elif os.path.isdir(model_path):
+        import json
+        with open(os.path.join(model_path, "config.json")) as f:
+            hf_cfg = json.load(f)
+        if "quantization_config" in hf_cfg and \
+                str(hf_cfg["quantization_config"].get(
+                    "quant_method", "")).lower() == "awq":
+            from ..gguf.awq_loader import load_awq_model
+            model, weights, mcfg = load_awq_model(model_path)
+        else:
+            from ..models.hf_loader import load_hf_model
+            model, weights, mcfg = load_hf_model(model_path)
+        tok = from_hf(tokenizer_path or model_path)
+    else:
+        raise ValueError(
+            f"{model_path}: expected a .gguf file or a HF checkpoint dir")
     if max_model_len:
         mcfg.max_model_len = min(max_model_len, mcfg.max_model_len) \
             if mcfg.max_model_len else max_model_len
-
-    if tokenizer_path:
-        tok = from_hf(tokenizer_path)
-    else:
-        tok = from_gguf(GGUFFile(model_path))
 
     cfg = EngineConfig(
         model=mcfg,

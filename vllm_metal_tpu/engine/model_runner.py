@@ -45,6 +45,8 @@ class SeqStepInput:
     # packed uint32 allowed-token mask for this step (None = unconstrained)
     token_bitmask: Any = None
     lora_slot: int = 0               # 0 = no adapter
+    state_slot: int = -1             # GDN state slot (-1 = use seq index)
+    reset_state: bool = False        # zero the slot before this step
 
 
 @dataclass
@@ -78,7 +80,13 @@ class ModelRunner:
             assert num_blocks is not None
             dtype = jnp.bfloat16 if cfg.cache.cache_dtype == "bfloat16" \
                 else jnp.float32
-            if cfg.model.is_mla:
+            if cfg.model.extra.get("full_attention_interval"):
+                from ..attention.gdn_cache import HybridCache
+                cfg.model.extra.setdefault(
+                    "gdn_slots", cfg.scheduler.max_num_seqs)
+                cache = HybridCache.allocate(
+                    cfg.model, cfg.cache, num_blocks, dtype=dtype)
+            elif cfg.model.is_mla:
                 from ..attention.mla_cache import MLAPagedLatentCache
                 cache = MLAPagedLatentCache.allocate(
                     cfg.model, cfg.cache, num_blocks, dtype=dtype)
@@ -110,6 +118,7 @@ class ModelRunner:
             scan = (cfg.model.num_layers >= 4
                     and not cfg.model.is_mla
                     and not cfg.cache.kv_quant_k
+                    and not cfg.model.extra.get("full_attention_interval")
                     and cfg.model.sliding_window_pattern is None
                     and mesh is None
                     and hasattr(model, "stack_layers")
@@ -226,6 +235,8 @@ class ModelRunner:
         total_tokens = sum(len(s.query_tokens) for s in seqs)
         t_pad = self._token_bucket(total_tokens)
 
+        state_slots = [s.state_slot if s.state_slot >= 0 else i
+                       for i, s in enumerate(seqs)]
         md = build_metadata(
             query_lens=[len(s.query_tokens) for s in seqs],
             context_lens=[s.context_len for s in seqs],
@@ -234,7 +245,12 @@ class ModelRunner:
             token_pad=t_pad,
             seq_pad=s_pad,
             max_blocks_per_seq=self.max_blocks_per_seq,
+            state_slots=state_slots,
         )
+        reset = [st for s, st in zip(seqs, state_slots) if s.reset_state]
+        if reset and hasattr(self.cache, "reset_slots"):
+            self.cache = self.cache.reset_slots(
+                jnp.asarray(reset, jnp.int32))
         flat_tokens = np.zeros((t_pad,), np.int32)
         t = 0
         for s in seqs:
