@@ -61,6 +61,15 @@ class PagedKVCache:
         (the fused-scatter analogue of the reference's ``reshape_and_cache``,
         ``/root/reference/vllm_metal/metal/reshape_and_cache.metal:99``).
         """
+        import os
+        import jax as _jax
+        if (_jax.default_backend() == "tpu"
+                and os.environ.get("VLLM_METAL_TPU_PALLAS_KV_WRITE") != "0"):
+            # guaranteed in-place via the aliased Pallas write
+            from ..ops.reshape_and_cache import reshape_and_cache
+            nk, nv = reshape_and_cache(self.k, self.v, k, v, slot_mapping,
+                                       layer_idx)
+            return PagedKVCache(k=nk, v=nv, block_size=self.block_size)
         l, kh, nb, bs, d = self.k.shape
         kf = self.k.reshape(l, kh, nb * bs, d)
         vf = self.v.reshape(l, kh, nb * bs, d)
