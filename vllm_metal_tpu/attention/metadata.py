@@ -19,7 +19,7 @@ import numpy as np
 from ..utils import static_dataclass
 
 
-KERNEL_BQ = 128  # query rows per kernel work item (ops/paged_attention_kernel)
+TILE_GRAN = 8  # finest q-tile granularity the kernel may use (bq multiple)
 
 
 @static_dataclass(meta_fields=("max_num_seqs", "max_blocks_per_seq"))
@@ -48,7 +48,8 @@ class AttentionMetadata:
     num_seqs: jax.Array
     # [] actual (unpadded) number of tokens.
     num_tokens: jax.Array
-    # [ceil(T / KERNEL_BQ)] first sequence overlapping each kernel q tile.
+    # [ceil(T / TILE_GRAN)] first sequence overlapping each 8-row q tile
+    # (kernels with bq = k*8 index this at stride k).
     tile_first_seq: jax.Array
     # [S] per-request recurrent-state slot (hybrid GDN models).
     seq_state_slots: jax.Array
@@ -107,11 +108,11 @@ def build_metadata(
     if state_slots is not None:
         slots_arr[:len(state_slots)] = state_slots
 
-    n_tiles = -(-token_pad // KERNEL_BQ)
+    n_tiles = -(-token_pad // TILE_GRAN)
     tile_first_seq = np.full((n_tiles,), s, np.int32)
     for ti in range(n_tiles):
-        if ti * KERNEL_BQ < total:
-            tile_first_seq[ti] = token_seq_ids[ti * KERNEL_BQ]
+        if ti * TILE_GRAN < total:
+            tile_first_seq[ti] = token_seq_ids[ti * TILE_GRAN]
 
     return AttentionMetadata(
         slot_mapping=jax.numpy.asarray(slot_mapping),

@@ -86,9 +86,11 @@ def _kernel(
         for cp in tile_dma(seq, tile, slot, v_hbm, vbuf, vsem):
             cp.start()
 
-    def wait_kv(seq, tile, slot):
+    def wait_k(seq, tile, slot):
         for cp in tile_dma(seq, tile, slot, k_hbm, kbuf, ksem):
             cp.wait()
+
+    def wait_v(seq, tile, slot):
         for cp in tile_dma(seq, tile, slot, v_hbm, vbuf, vsem):
             cp.wait()
 
@@ -115,16 +117,18 @@ def _kernel(
             @pl.when(t + 1 < n_tiles)
             def _():
                 start_kv(seq, t + 1, 1 - slot)
-            wait_kv(seq, t, slot)
+            wait_k(seq, t, slot)
 
             kt = kbuf[slot]                              # [KV_TILE, d] bf16
-            vt = vbuf[slot]
             kv_pos = t * KV_TILE + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, KV_TILE), 1)
             mask = row_in & (kv_pos <= row_pos)
             if sliding_window is not None:
                 mask &= kv_pos > row_pos - sliding_window
 
+            # scores for all head-group members against K first, so the V
+            # transfer hides behind the QK matmuls + softmax update
+            ps = []
             for gi in range(g):
                 s = jax.lax.dot_general(
                     q_blk[0, gi], kt, (((1,), (1,)), ((), ())),
@@ -140,11 +144,17 @@ def _kernel(
                 p = jnp.exp(s - m_new)
                 l_new = l_s[gi][:, 0:1] * alpha \
                     + jnp.sum(p, axis=-1, keepdims=True)
-                acc[gi] = acc[gi] * alpha + jax.lax.dot_general(
-                    p.astype(jnp.bfloat16), vt, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                acc[gi] = acc[gi] * alpha
                 m_s[gi] = jnp.broadcast_to(m_new, (bq, 128))
                 l_s[gi] = jnp.broadcast_to(l_new, (bq, 128))
+                ps.append(p.astype(jnp.bfloat16))
+
+            wait_v(seq, t, slot)
+            vt = vbuf[slot]
+            for gi in range(g):
+                acc[gi] = acc[gi] + jax.lax.dot_general(
+                    ps[gi], vt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             return 1 - slot
 
         jax.lax.fori_loop(start_tile, n_tiles, body, 0, unroll=False)
@@ -159,7 +169,8 @@ def _kernel(
             process_seq(seq)
         return seq + 1
 
-    jax.lax.while_loop(seq_cond, seq_body, tile_first_seq[ti])
+    jax.lax.while_loop(seq_cond, seq_body,
+                       tile_first_seq[ti * (bq // 8)])
 
     for gi in range(g):
         l = l_s[gi][:, 0:1]
@@ -250,13 +261,19 @@ def paged_attention(
     sinks: Optional[jax.Array] = None,
     logit_softcap: Optional[float] = None,
     interpret: bool = False,
-    bq: int = DEFAULT_BQ,
+    bq: Optional[int] = None,
 ) -> jax.Array:
     t, qh, d = q.shape
     kvh = k_cache.shape[1]
     g = qh // kvh
     if scale is None:
         scale = d ** -0.5
+    if bq is None:
+        # decode-heavy small buckets: 8-row tiles cut the per-sequence
+        # masked-softmax/MXU waste 16x (rows in a tile mostly belong to
+        # other sequences); large prefill buckets amortize KV fetches
+        # across 128 rows
+        bq = DEFAULT_BQ if t >= DEFAULT_BQ else 8
     t2 = -(-t // bq) * bq
     qp = jnp.pad(q, ((0, t2 - t), (0, 0), (0, 0))) if t2 != t else q
     q_t = qp.reshape(t2, kvh, g, d).transpose(1, 2, 0, 3)
