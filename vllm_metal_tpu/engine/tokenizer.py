@@ -92,6 +92,10 @@ def from_gguf(gguf_file) -> EngineTokenizer:
 
     meta = gguf_file.metadata
     model_type = meta.get("tokenizer.ggml.model", "gpt2")
+    if "tokenizer.ggml.tokens" not in meta:
+        raise ValueError(
+            "GGUF file has no embedded tokenizer (tokenizer.ggml.tokens); "
+            "pass --tokenizer <hf-dir-or-id>")
     tokens: list[str] = meta["tokenizer.ggml.tokens"]
     eos = meta.get("tokenizer.ggml.eos_token_id")
     bos = meta.get("tokenizer.ggml.bos_token_id")
