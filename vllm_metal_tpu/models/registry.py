@@ -20,6 +20,9 @@ def get_model_class(architecture: str) -> type:
     # import for registration side effects
     from . import llama  # noqa: F401
     from . import gemma  # noqa: F401
+    from . import mla  # noqa: F401
+    from . import mixtral  # noqa: F401
+    from . import qwen3_next  # noqa: F401
     try:
         return _REGISTRY[architecture]
     except KeyError:
