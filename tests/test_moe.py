@@ -81,3 +81,59 @@ def test_mixtral_engine_e2e():
     assert len(outs) == 2
     for o in outs.values():
         assert o.finished and len(o.token_ids) == 4
+
+
+def test_mixtral_gguf_load(tmp_path):
+    """MoE GGUF checkpoint (llama arch + expert tensors) loads and runs."""
+    import os
+    from tests.gguf_writer import write_gguf
+    from vllm_metal_tpu.gguf.loader import load_model
+    from vllm_metal_tpu.gguf.reader import GGMLType
+    rng = np.random.default_rng(0)
+    V, H, L, NH, NKV, HD, I, E = 64, 32, 2, 4, 2, 8, 48, 4
+
+    def w(*shape, scale=0.2):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors = {"token_embd.weight": (w(V, H), GGMLType.F32),
+               "output_norm.weight": (1 + 0.05 * w(H), GGMLType.F32),
+               "output.weight": (w(V, H), GGMLType.F32)}
+    for i in range(L):
+        p = f"blk.{i}."
+        tensors.update({
+            p + "attn_norm.weight": (1 + 0.05 * w(H), GGMLType.F32),
+            p + "attn_q.weight": (w(NH * HD, H), GGMLType.F32),
+            p + "attn_k.weight": (w(NKV * HD, H), GGMLType.F32),
+            p + "attn_v.weight": (w(NKV * HD, H), GGMLType.F32),
+            p + "attn_output.weight": (w(H, NH * HD), GGMLType.F32),
+            p + "ffn_norm.weight": (1 + 0.05 * w(H), GGMLType.F32),
+            p + "ffn_gate_inp.weight": (w(E, H), GGMLType.F32),
+            p + "ffn_gate_exps.weight": (w(E, I, H), GGMLType.F32),
+            p + "ffn_up_exps.weight": (w(E, I, H), GGMLType.F32),
+            p + "ffn_down_exps.weight": (w(E, H, I), GGMLType.F32),
+        })
+    meta = {
+        "general.architecture": "llama",
+        "llama.block_count": L, "llama.embedding_length": H,
+        "llama.attention.head_count": NH,
+        "llama.attention.head_count_kv": NKV,
+        "llama.attention.key_length": HD,
+        "llama.feed_forward_length": I,
+        "llama.expert_count": E, "llama.expert_used_count": 2,
+        "llama.context_length": 64, "llama.vocab_size": V,
+    }
+    path = str(tmp_path / "moe.gguf")
+    write_gguf(path, meta, tensors)
+    model, weights, cfg = load_model(path, dtype=jnp.float32)
+    assert isinstance(model, MixtralModel)
+    assert cfg.extra["num_experts"] == E
+    assert len(weights.layers[0].moe.gate) == E
+
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  token_buckets=(16, 32, 64)))
+    eng = LLMEngine(model, weights, ecfg, num_blocks=16, use_pallas=False)
+    outs = eng.generate([[5, 9, 2]], SamplingParams(temperature=0.0,
+                                                    max_tokens=3))
+    assert list(outs.values())[0].finished

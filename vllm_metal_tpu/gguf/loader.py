@@ -70,6 +70,13 @@ def config_from_gguf(f: GGUFFile) -> ModelConfig:
         tie_word_embeddings="output.weight" not in f,
         qk_norm=f"blk.0.attn_q_norm.weight" in f,
     )
+    n_exp = _meta(f, "expert_count")
+    if n_exp:
+        cfg.extra["num_experts"] = int(n_exp)
+        cfg.extra["num_experts_per_tok"] = int(
+            _meta(f, "expert_used_count", 2))
+        if _meta(f, "expert_feed_forward_length"):
+            cfg.intermediate_size = int(_meta(f, "expert_feed_forward_length"))
     if arch.startswith("gemma"):
         cfg.scale_embeddings = True
         sw = _meta(f, "attention.sliding_window")
@@ -115,13 +122,53 @@ def load_tensor(f: GGUFFile, name: str, as_linear: bool = True,
         dequantize(raw, t, info.shape).astype(np.float32), dtype=dtype))
 
 
+def load_moe_experts(f: GGUFFile, name: str, n_exp: int,
+                     dtype=jnp.bfloat16) -> list:
+    """Split a stacked [E, N, K] expert tensor into per-expert QuantLinears.
+
+    Quantized blocks are row-independent, so the [E*N, K] repack slices
+    cleanly per expert with no requantization."""
+    info = f.tensors[name]
+    e, n, k = info.shape
+    assert e == n_exp, (name, info.shape)
+    raw = f.tensor_data(name)
+    t = info.ggml_type
+    if t in _Q4_TYPES and k % 256 == 0:
+        from .native import pack_affine_q4_native
+        p = pack_affine_q4_native(raw, t, (e * n, k)) \
+            or pack_affine_q4(raw, t, (e * n, k))
+        full = QuantLinear.from_packed(p)
+        return [QuantLinear(
+            kind="q4", w=full.w[i * n:(i + 1) * n],
+            scales=full.scales[:, i * n:(i + 1) * n],
+            biases=full.biases[:, i * n:(i + 1) * n],
+            group_size=full.group_size) for i in range(e)]
+    if t in _Q8_TYPES and k % 256 == 0:
+        from .native import pack_q8_native
+        p = pack_q8_native(raw, t, (e * n, k)) or pack_q8(raw, t, (e * n, k))
+        full = QuantLinear.from_packed(p)
+        return [QuantLinear(
+            kind="q8", w=full.w[i * n:(i + 1) * n],
+            scales=full.scales[:, i * n:(i + 1) * n],
+            biases=None if full.biases is None
+            else full.biases[:, i * n:(i + 1) * n],
+            group_size=full.group_size) for i in range(e)]
+    dense = dequantize(raw, t, info.shape).astype(np.float32)
+    return [QuantLinear.dense(jnp.asarray(dense[i], dtype=dtype))
+            for i in range(e)]
+
+
 def load_llama_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
-    """Build LlamaWeights (also serves qwen2/qwen3/mistral/gemma names)."""
+    """Build LlamaWeights (also serves qwen2/qwen3/mistral/gemma/moe)."""
     from ..models.gemma import GemmaLayerWeights
     from ..models.llama import LlamaLayerWeights, LlamaWeights
+    from ..models.mixtral import MixtralLayerWeights
+    from ..models.moe import MoEWeights
 
     is_gemma = cfg.architecture.startswith("gemma")
-    layer_cls = GemmaLayerWeights if is_gemma else LlamaLayerWeights
+    is_moe = "blk.0.ffn_gate_exps.weight" in f
+    layer_cls = GemmaLayerWeights if is_gemma else (
+        MixtralLayerWeights if is_moe else LlamaLayerWeights)
 
     def lin(name):
         return load_tensor(f, name, as_linear=True, dtype=dtype)
@@ -135,6 +182,17 @@ def load_llama_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
     layers = []
     for i in range(cfg.num_layers):
         p = f"blk.{i}."
+        n_exp = cfg.extra.get("num_experts", 0)
+        if is_moe:
+            moe = MoEWeights(
+                router=lin(p + "ffn_gate_inp.weight"),
+                gate=load_moe_experts(f, p + "ffn_gate_exps.weight", n_exp,
+                                      dtype),
+                up=load_moe_experts(f, p + "ffn_up_exps.weight", n_exp,
+                                    dtype),
+                down=load_moe_experts(f, p + "ffn_down_exps.weight", n_exp,
+                                      dtype),
+                top_k=cfg.extra.get("num_experts_per_tok", 2))
         kw = dict(
             attn_norm=vec(p + "attn_norm.weight"),
             wq=lin(p + "attn_q.weight"),
@@ -142,9 +200,9 @@ def load_llama_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
             wv=lin(p + "attn_v.weight"),
             wo=lin(p + "attn_output.weight"),
             mlp_norm=vec(p + "ffn_norm.weight"),
-            gate=lin(p + "ffn_gate.weight"),
-            up=lin(p + "ffn_up.weight"),
-            down=lin(p + "ffn_down.weight"),
+            gate=None if is_moe else lin(p + "ffn_gate.weight"),
+            up=None if is_moe else lin(p + "ffn_up.weight"),
+            down=None if is_moe else lin(p + "ffn_down.weight"),
             q_norm=opt_vec(p + "attn_q_norm.weight"),
             k_norm=opt_vec(p + "attn_k_norm.weight"),
             bq=opt_vec(p + "attn_q.bias"),
@@ -152,6 +210,8 @@ def load_llama_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
             bv=opt_vec(p + "attn_v.bias"),
             sinks=opt_vec(p + "attn_sinks.weight"),
         )
+        if is_moe:
+            kw["moe"] = moe
         if is_gemma:
             kw.update(
                 post_attn_norm=opt_vec(p + "post_attention_norm.weight"),
@@ -174,7 +234,11 @@ def load_model(path: str, dtype=jnp.bfloat16):
 
     f = GGUFFile(path)
     cfg = config_from_gguf(f)
-    model_cls = get_model_class(cfg.architecture)
+    if cfg.extra.get("num_experts"):
+        from ..models.mixtral import MixtralModel
+        model_cls = MixtralModel
+    else:
+        model_cls = get_model_class(cfg.architecture)
     model = model_cls(cfg)
     weights = load_llama_weights(f, cfg, dtype=dtype)
     return model, weights, cfg
