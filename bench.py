@@ -290,8 +290,12 @@ def main():
     log(f"decode (fused window): {tput:.1f} tok/s, "
         f"{step_time * 1e3:.2f} ms/step")
 
-    ttft = bench_prefill(runner, cfg, min(args.ctx, 1024))
-    log(f"prefill({min(args.ctx, 1024)}): {ttft * 1e3:.1f} ms")
+    try:
+        ttft = bench_prefill(runner, cfg, min(args.ctx, 1024))
+        log(f"prefill({min(args.ctx, 1024)}): {ttft * 1e3:.1f} ms")
+    except Exception as e:  # decode numbers still emit
+        log(f"prefill bench failed: {e}")
+        ttft = float("nan")
 
     # HBM roofline for this decode step
     step_bytes = wb + args.batch * (args.ctx + args.steps // 2) \
