@@ -115,3 +115,20 @@ def test_add_request_validation():
         eng.add_request([])
     with pytest.raises(ValueError):
         eng.add_request(list(range(500)))  # > max_model_len
+
+
+def test_decode_window_matches_per_step():
+    """Multi-step decode windows must emit exactly the per-step greedy
+    tokens (tokens feed back on device)."""
+    import dataclasses
+    p = [[3, 14, 15, 92, 65], [35, 89, 79, 32]]
+    sp = SamplingParams(temperature=0.0, max_tokens=9)
+    base = make_engine(seed=9).generate(p, sp)
+
+    eng = make_engine(seed=9)
+    eng.cfg = dataclasses.replace(
+        eng.cfg, scheduler=dataclasses.replace(eng.cfg.scheduler,
+                                               decode_window=4))
+    win = eng.generate(p, sp)
+    for k in base:
+        assert base[k].token_ids == win[k].token_ids, k

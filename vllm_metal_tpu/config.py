@@ -116,6 +116,9 @@ class SchedulerConfig:
     max_num_seqs: int = 64
     max_num_batched_tokens: int = 2048
     enable_chunked_prefill: bool = True
+    # multi-step scheduling: run up to N pure-greedy decode steps in one
+    # device dispatch (tokens feed back on device).  1 = off.
+    decode_window: int = 1
     # Padded token-count buckets for XLA compile reuse.
     token_buckets: tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 

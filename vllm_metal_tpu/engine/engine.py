@@ -183,6 +183,10 @@ class LLMEngine:
         if not sched.scheduled:
             return []
 
+        window = self._window_size(sched)
+        if window > 1:
+            return self._step_window(sched, window)
+
         inputs: list[SeqStepInput] = []
         for s in sched.scheduled:
             req = s.request
@@ -268,6 +272,85 @@ class LLMEngine:
                 self._release_state_slot(req.request_id)
                 if self.proposer is not None:
                     self.proposer.release(req.request_id)
+            results.append(RequestOutput(
+                request_id=req.request_id,
+                new_token_ids=emitted,
+                finished=finished,
+                finish_reason=_FINISH_REASON.get(stop),
+                token_ids=list(req.output_token_ids),
+                logprobs=list(req.logprobs),
+                num_prompt_tokens=req.num_prompt_tokens,
+            ))
+        return results
+
+    def _window_size(self, sched) -> int:
+        """Multi-step decode eligibility: a full batch of greedy decodes
+        with no drafts/grammar/LoRA and nothing waiting to be admitted."""
+        w = self.cfg.scheduler.decode_window
+        if w <= 1 or self.scheduler.waiting or self.proposer is not None \
+                or self.runner.lora_manager is not None:
+            return 1
+        if not sched.scheduled:
+            return 1
+        for s in sched.scheduled:
+            req = s.request
+            if (s.num_new_tokens != 1 or s.num_draft_tokens
+                    or not req.params.greedy
+                    or req.params.grammar is not None
+                    or req.num_computed_tokens != req.num_tokens - 1):
+                return 1
+            w = min(w, req.params.max_tokens - len(req.output_token_ids))
+            w = min(w, self.cfg.model.max_model_len - req.num_tokens)
+        return max(1, w)
+
+    def _step_window(self, sched, window: int) -> list[RequestOutput]:
+        import numpy as np
+        reqs = [s.request for s in sched.scheduled]
+        for req in reqs:
+            if not self.bm.append_slots(req.request_id,
+                                        req.num_tokens + window):
+                window = 1
+                break
+        inputs = []
+        for req in reqs:
+            state_slot, fresh = (-1, False)
+            if self._is_hybrid:
+                state_slot, fresh = self._state_slot_for(req)
+            inputs.append(SeqStepInput(
+                query_tokens=[req.all_token_ids[-1]],
+                context_len=req.num_tokens,
+                block_table=self.bm.get_block_table(req.request_id),
+                params=req.params, state_slot=state_slot,
+                reset_state=fresh))
+        outs = self.runner.execute_decode_window(inputs, window)  # [W, S]
+
+        results: list[RequestOutput] = []
+        now = time.monotonic()
+        for i, req in enumerate(reqs):
+            emitted: list[int] = []
+            stop = None
+            accepted = 0
+            for j in range(window):
+                tok = int(outs[j, i])
+                req.output_token_ids.append(tok)
+                req.logprobs.append(0.0)
+                emitted.append(tok)
+                accepted += 1
+                self.num_generated_tokens += 1
+                stop = req.check_stop(self.cfg.model.max_model_len)
+                if stop is not None:
+                    break
+            req.num_computed_tokens += accepted
+            if req.first_token_time is None:
+                req.first_token_time = now
+            self.bm.commit_full_blocks(
+                req.request_id, req.all_token_ids,
+                min(req.num_computed_tokens, req.num_tokens))
+            finished = stop is not None
+            if finished:
+                self.scheduler.finish_request(req, stop)
+                self.requests.pop(req.request_id, None)
+                self._release_state_slot(req.request_id)
             results.append(RequestOutput(
                 request_id=req.request_id,
                 new_token_ids=emitted,

@@ -221,6 +221,97 @@ class ModelRunner:
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
     # ------------------------------------------------------------------
+    def _window_fn(self, n_steps: int):
+        """Jitted n-step pure-decode loop: greedy tokens feed back and
+        metadata advances on device — one dispatch per window (multi-step
+        scheduling; amortizes host/dispatch latency across steps)."""
+        import dataclasses
+        key = ("window", n_steps)
+        if key in self._compiled:
+            return self._compiled[key]
+        s_pad = self.cfg.scheduler.max_num_seqs
+        bs = self.cfg.cache.block_size
+        model = self.model
+        backend = self.backend
+
+        def one_step(weights, cache, tokens, ctx_lens, md0, active):
+            pos = ctx_lens - 1
+            blk = jnp.take_along_axis(
+                md0.block_tables, jnp.clip(pos, 0, None)[:, None] // bs,
+                axis=1)[:, 0]
+            slots = jnp.where(active, blk * bs + pos % bs, -1)
+            md = dataclasses.replace(
+                md0, slot_mapping=slots,
+                context_lens=jnp.where(active, ctx_lens, 0),
+                positions=jnp.where(active, pos, 0),
+                token_kv_lens=jnp.where(active, ctx_lens, 0),
+                token_seq_ids=jnp.arange(s_pad, dtype=jnp.int32),
+                query_start_loc=jnp.minimum(
+                    jnp.arange(s_pad + 1, dtype=jnp.int32),
+                    md0.num_seqs).astype(jnp.int32))
+            sinks = None
+            layers = getattr(weights, "layers", None)
+            if isinstance(layers, (list, tuple)) and layers \
+                    and getattr(layers[0], "sinks", None) is not None:
+                sinks = [lw.sinks for lw in layers]
+            attn_fn, get_cache = backend.make_attn_fn(
+                cache, md, sinks_per_layer=sinks)
+            hidden = model.forward_hidden(weights, tokens, md.positions,
+                                          attn_fn)
+            rows = jnp.clip(md.query_start_loc[1:] - 1, 0,
+                            hidden.shape[0] - 1)
+            logits = model.logits(weights, hidden[rows])
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return get_cache(), nxt, ctx_lens + 1
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def window(weights, cache, tokens, ctx_lens, md0):
+            active = jnp.arange(s_pad) < md0.num_seqs
+
+            def body(carry, _):
+                cache, tokens, ctx_lens = carry
+                cache, nxt, ctx_lens = one_step(
+                    weights, cache, tokens, ctx_lens, md0, active)
+                return (cache, nxt, ctx_lens), nxt
+
+            (cache, tokens, ctx_lens), outs = jax.lax.scan(
+                body, (cache, tokens, ctx_lens), None, length=n_steps)
+            return cache, outs            # outs: [n_steps, S]
+
+        self._compiled[key] = window
+        return window
+
+    def execute_decode_window(self, seqs: list[SeqStepInput],
+                              n_steps: int) -> np.ndarray:
+        """Run n pure-greedy decode steps in one dispatch.
+
+        Every seq must be decode-ready (query = its last committed token)
+        with block tables covering context + n_steps slots.  Returns
+        sampled ids [n_steps, num_seqs]."""
+        assert all(len(s.query_tokens) == 1 for s in seqs)
+        s_pad = self.cfg.scheduler.max_num_seqs
+        md = build_metadata(
+            query_lens=[1] * len(seqs),
+            context_lens=[s.context_len for s in seqs],
+            block_tables=[s.block_table for s in seqs],
+            block_size=self.cfg.cache.block_size,
+            token_pad=s_pad, seq_pad=s_pad,
+            max_blocks_per_seq=self.max_blocks_per_seq,
+            state_slots=[s.state_slot if s.state_slot >= 0 else i
+                         for i, s in enumerate(seqs)],
+        )
+        tokens = np.zeros((s_pad,), np.int32)
+        ctx = np.zeros((s_pad,), np.int32)
+        for i, s in enumerate(seqs):
+            tokens[i] = s.query_tokens[0]
+            ctx[i] = s.context_len
+        window = self._window_fn(n_steps)
+        self.cache, outs = window(self.weights, self.cache,
+                                  jnp.asarray(tokens), jnp.asarray(ctx), md)
+        self.step_counter += n_steps
+        return np.asarray(outs)[:, :len(seqs)]
+
+    # ------------------------------------------------------------------
     def execute(self, seqs: list[SeqStepInput],
                 sync: bool = True) -> StepOutput:
         """Run one engine step for the given packed batch.
