@@ -32,6 +32,12 @@ def main() -> None:
     s.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     s.add_argument("--kv-quant-k", default="")
     s.add_argument("--kv-quant-v", default="")
+    s.add_argument("--decode-window", type=int, default=1,
+                   help="multi-step decode scheduling window (1 = off)")
+    s.add_argument("--speculative-method", default="",
+                   choices=["", "ngram"],
+                   help="speculative decoding (ngram prompt lookup)")
+    s.add_argument("--num-speculative-tokens", type=int, default=4)
     s.add_argument("--served-model-name", default=None)
 
     args = ap.parse_args()
@@ -46,7 +52,10 @@ def main() -> None:
             memory_fraction=args.memory_fraction,
             num_blocks=args.num_blocks,
             tensor_parallel_size=args.tensor_parallel_size,
-            kv_quant_k=args.kv_quant_k, kv_quant_v=args.kv_quant_v)
+            kv_quant_k=args.kv_quant_k, kv_quant_v=args.kv_quant_v,
+            decode_window=args.decode_window,
+            spec_method=args.speculative_method,
+            num_speculative_tokens=args.num_speculative_tokens)
         serve(engine, tok, host=args.host, port=args.port,
               model_name=args.served_model_name or args.model)
 

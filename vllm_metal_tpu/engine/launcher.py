@@ -52,6 +52,9 @@ def build_engine(model_path: str,
                  tensor_parallel_size: int = 1,
                  use_pallas: Optional[bool] = None,
                  kv_quant_k: str = "", kv_quant_v: str = "",
+                 decode_window: int = 1,
+                 spec_method: str = "",
+                 num_speculative_tokens: int = 4,
                  ) -> tuple[LLMEngine, Any]:
     """Returns (engine, tokenizer).  model_path: .gguf file (for now)."""
     from ..attention.kv_cache import PagedKVCache
@@ -85,14 +88,19 @@ def build_engine(model_path: str,
         mcfg.max_model_len = min(max_model_len, mcfg.max_model_len) \
             if mcfg.max_model_len else max_model_len
 
+    from ..config import SpecConfig
     cfg = EngineConfig(
         model=mcfg,
         cache=CacheConfig(block_size=block_size, kv_quant_k=kv_quant_k,
                           kv_quant_v=kv_quant_v),
         scheduler=SchedulerConfig(
             max_num_seqs=max_num_seqs,
-            max_num_batched_tokens=max_num_batched_tokens),
+            max_num_batched_tokens=max_num_batched_tokens,
+            decode_window=decode_window),
         parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+        spec=SpecConfig(method=spec_method,
+                        num_speculative_tokens=num_speculative_tokens)
+        if spec_method else SpecConfig(),
     )
 
     mesh = None
