@@ -50,11 +50,19 @@ class PagedAttentionBackend:
             assert self.cfg.sliding_window_pattern is None
             window = self.cfg.sliding_window
         if isinstance(cache, QuantPagedKVCache):
-            from ..ops.paged_attention import paged_attention_quant_ref
-            out = paged_attention_quant_ref(
-                q, cache, layer_idx, md,
-                scale=self.scale, sliding_window=window, sinks=sinks,
-                logit_softcap=self.cfg.attn_logit_softcap)
+            if self.use_pallas and sinks is None \
+                    and not self.cfg.attn_logit_softcap:
+                from ..ops.paged_attention_tq_kernel import tq_paged_attention
+                out = tq_paged_attention(
+                    q, cache, md, layer_idx, scale=self.scale,
+                    sliding_window=window,
+                    interpret=bool(envs.PALLAS_INTERPRET))
+            else:
+                from ..ops.paged_attention import paged_attention_quant_ref
+                out = paged_attention_quant_ref(
+                    q, cache, layer_idx, md,
+                    scale=self.scale, sliding_window=window, sinks=sinks,
+                    logit_softcap=self.cfg.attn_logit_softcap)
             return out, cache
         if self.use_pallas:
             from ..ops.paged_attention_kernel import paged_attention
