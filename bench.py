@@ -116,89 +116,36 @@ def weight_bytes(weights) -> int:
 
 
 def bench_decode_fused(runner, cfg, batch: int, ctx: int, steps: int):
-    """Pure device decode throughput: a jitted lax.scan over decode steps
-    with greedy tokens fed back and metadata advanced ON DEVICE — one
-    dispatch for the whole window (the per-dispatch tunnel latency in this
-    environment otherwise swamps the measurement; production serving gets
-    the same effect from multi-step scheduling)."""
-    import jax
-    from vllm_metal_tpu.attention.metadata import build_metadata
+    """Pure device decode throughput via the runner's multi-step decode
+    window (greedy tokens fed back on device; statically unrolled window of
+    8 steps per dispatch — one dispatch per window amortizes the tunnel
+    latency; production serving uses the same path via decode_window)."""
+    from vllm_metal_tpu.engine.model_runner import SeqStepInput
+    from vllm_metal_tpu.engine.sampling_params import SamplingParams
 
     bs = cfg.cache.block_size
-    s_pad = cfg.scheduler.max_num_seqs
+    window = 8
     blocks_per_seq = -(-(ctx + steps + 2) // bs)
     tables = [list(range(1 + i * blocks_per_seq,
                          1 + (i + 1) * blocks_per_seq))
               for i in range(batch)]
-    md0 = build_metadata(
-        query_lens=[1] * batch, context_lens=[ctx + 1] * batch,
-        block_tables=tables, block_size=bs,
-        token_pad=s_pad, seq_pad=s_pad,
-        max_blocks_per_seq=runner.max_blocks_per_seq)
+    gp = SamplingParams(temperature=0.0)
 
-    model = runner.model
-    backend = runner.backend
-    active = jnp.arange(s_pad) < batch
+    def seqs(cl):
+        return [SeqStepInput(query_tokens=[7], context_len=cl,
+                             block_table=tables[i], params=gp)
+                for i in range(batch)]
 
-    def one_step(cache, tokens, ctx_lens):
-        """tokens [S] this step's input ids; ctx_lens includes them."""
-        import dataclasses
-        pos = ctx_lens - 1                                  # [S]
-        bt = md0.block_tables
-        blk = jnp.take_along_axis(
-            bt, (pos // bs)[:, None], axis=1)[:, 0]
-        slots = jnp.where(active, blk * bs + pos % bs, -1)
-        md = dataclasses.replace(
-            md0, slot_mapping=slots,
-            context_lens=jnp.where(active, ctx_lens, 0),
-            positions=jnp.where(active, pos, 0),
-            token_kv_lens=jnp.where(active, ctx_lens, 0),
-            token_seq_ids=jnp.arange(s_pad, dtype=jnp.int32),
-            query_start_loc=jnp.minimum(
-                jnp.arange(s_pad + 1), batch).astype(jnp.int32))
-        attn_fn, get_cache = backend.make_attn_fn(md=md, cache=cache)
-        hidden = model.forward_hidden(
-            runner.weights, tokens, md.positions, attn_fn)
-        rows = jnp.clip(md.query_start_loc[1:] - 1, 0, s_pad - 1)
-        logits = model.logits(runner.weights, hidden[rows])
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return get_cache(), nxt, ctx_lens + 1
-
-    @jax.jit
-    def multi_step(cache, tokens, ctx_lens, n):
-        def body(carry, _):
-            cache, tokens, ctx_lens = carry
-            cache, nxt, ctx_lens = one_step(cache, tokens, ctx_lens)
-            return (cache, nxt, ctx_lens), nxt
-        (cache, tokens, ctx_lens), outs = jax.lax.scan(
-            body, (cache, tokens, ctx_lens), None, length=n)
-        return cache, tokens, ctx_lens, outs
-
-    tokens = jnp.full((s_pad,), 7, jnp.int32)
-    ctx_lens = jnp.full((s_pad,), ctx + 1, jnp.int32)
-
-    import functools
-    ms = functools.partial(multi_step)
-    # warm/compile with the real step count (n is traced via scan length —
-    # must be static; close over it)
-    @jax.jit
-    def run_window(cache, tokens, ctx_lens):
-        def body(carry, _):
-            cache, tokens, ctx_lens = carry
-            cache, nxt, ctx_lens = one_step(cache, tokens, ctx_lens)
-            return (cache, nxt, ctx_lens), None
-        (cache, tokens, ctx_lens), _ = jax.lax.scan(
-            body, (cache, tokens, ctx_lens), None, length=steps)
-        return cache, tokens, ctx_lens
-
-    cache, tokens, ctx_lens = run_window(runner.cache, tokens, ctx_lens)
-    jax.block_until_ready(tokens)
+    # compile + warm
+    runner.execute_decode_window(seqs(ctx + 1), window)
+    n_windows = max(1, steps // window)
     t0 = time.perf_counter()
-    cache, tokens, ctx_lens = run_window(cache, tokens, ctx_lens)
-    jax.block_until_ready(tokens)
+    for wdx in range(n_windows):
+        outs = runner.execute_decode_window(
+            seqs(ctx + 1 + (wdx + 1) * window), window)
     dt = time.perf_counter() - t0
-    runner.cache = cache
-    return batch * steps / dt, dt / steps
+    n = n_windows * window
+    return batch * n / dt, dt / n
 
 
 def bench_decode(runner, cfg, batch: int, ctx: int, steps: int):

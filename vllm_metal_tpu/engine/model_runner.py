@@ -267,16 +267,15 @@ class ModelRunner:
         @functools.partial(jax.jit, donate_argnums=(1,))
         def window(weights, cache, tokens, ctx_lens, md0):
             active = jnp.arange(s_pad) < md0.num_seqs
-
-            def body(carry, _):
-                cache, tokens, ctx_lens = carry
-                cache, nxt, ctx_lens = one_step(
+            # statically unrolled: a scan-of-layer-scan program compiles
+            # pathologically slowly in this toolchain; unrolled steps share
+            # one set of Mosaic kernels so compile cost stays ~one step
+            outs = []
+            for _ in range(n_steps):
+                cache, tokens, ctx_lens = one_step(
                     weights, cache, tokens, ctx_lens, md0, active)
-                return (cache, nxt, ctx_lens), nxt
-
-            (cache, tokens, ctx_lens), outs = jax.lax.scan(
-                body, (cache, tokens, ctx_lens), None, length=n_steps)
-            return cache, outs            # outs: [n_steps, S]
+                outs.append(tokens)
+            return cache, jnp.stack(outs)  # [n_steps, S]
 
         self._compiled[key] = window
         return window
