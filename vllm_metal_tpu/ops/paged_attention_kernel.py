@@ -47,10 +47,11 @@ def _kernel(
     # scratch
     kbuf, vbuf, acc, m_s, l_s, ksem, vsem,
     *,
-    bq: int, bs: int, g: int, d: int, scale: float,
+    bq: int, bs: int, g: int, d: int, scale: float, kv_tile: int,
     sliding_window: Optional[int], logit_softcap: Optional[float],
     has_sinks: bool,
 ):
+    KV_TILE = kv_tile
     h = pl.program_id(0)
     ti = pl.program_id(1)
     c = KV_TILE // bs                 # cache blocks per kv tile
@@ -203,17 +204,18 @@ def _paged_attention_call(
 ) -> jax.Array:
     kvh, g, t2, d = q_t.shape
     _, _, nb, bs, _ = k_cache.shape
-    assert KV_TILE % bs == 0, (KV_TILE, bs)
+    kv_tile = max(KV_TILE, bs)        # one-DMA tiles for large blocks
+    assert kv_tile % bs == 0, (kv_tile, bs)
     assert t2 % bq == 0
     n_tiles = t2 // bq
-    c = KV_TILE // bs
+    c = kv_tile // bs
 
     has_sinks = sinks is not None
     sinks_arr = (sinks.astype(jnp.float32).reshape(1, kvh * g)
                  if has_sinks else jnp.zeros((1, kvh * g), jnp.float32))
 
     kernel = functools.partial(
-        _kernel, bq=bq, bs=bs, g=g, d=d, scale=scale,
+        _kernel, bq=bq, bs=bs, g=g, d=d, scale=scale, kv_tile=kv_tile,
         sliding_window=sliding_window, logit_softcap=logit_softcap,
         has_sinks=has_sinks)
 
@@ -230,8 +232,8 @@ def _paged_attention_call(
         out_specs=pl.BlockSpec((1, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, KV_TILE, d), jnp.bfloat16),     # kbuf
-            pltpu.VMEM((2, KV_TILE, d), jnp.bfloat16),     # vbuf
+            pltpu.VMEM((2, kv_tile, d), jnp.bfloat16),     # kbuf
+            pltpu.VMEM((2, kv_tile, d), jnp.bfloat16),     # vbuf
             pltpu.VMEM((g, bq, d), jnp.float32),           # acc
             pltpu.VMEM((g, bq, 128), jnp.float32),         # m
             pltpu.VMEM((g, bq, 128), jnp.float32),         # l
