@@ -12,7 +12,7 @@ path, ``/root/reference/vllm_metal/v1/model_runner.py:1867-1894``).
 from __future__ import annotations
 
 from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

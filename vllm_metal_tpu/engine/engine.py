@@ -19,7 +19,7 @@ from .model_runner import ModelRunner, SeqStepInput
 from .outputs import RequestOutput
 from .request import Request, RequestStatus
 from .sampling_params import SamplingParams
-from .scheduler import Scheduler, SchedulerOutput
+from .scheduler import Scheduler
 
 logger = logging.getLogger(__name__)
 

@@ -15,7 +15,7 @@ from typing import Any, Optional
 import jax
 
 from .. import envs
-from ..config import CacheConfig, EngineConfig, ModelConfig, ParallelConfig, \
+from ..config import CacheConfig, EngineConfig, ParallelConfig, \
     SchedulerConfig
 from .engine import LLMEngine
 

@@ -20,13 +20,10 @@ from __future__ import annotations
 import json
 import logging
 import os
-from glob import glob
-from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
 from ..ops.quant_matmul import QuantLinear
 
 logger = logging.getLogger(__name__)
@@ -99,7 +96,6 @@ def awq_to_quant_linear(qweight: np.ndarray, qzeros: np.ndarray,
 
 def load_awq_model(path: str, dtype=jnp.bfloat16):
     """HF AutoAWQ checkpoint dir -> (model, weights, cfg)."""
-    from safetensors import safe_open
     from ..models.hf_loader import config_from_hf, _ShardedReader
     from ..models.llama import LlamaLayerWeights, LlamaWeights
     from ..models.registry import get_model_class

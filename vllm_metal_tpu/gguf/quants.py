@@ -27,7 +27,7 @@ from typing import Optional
 
 import numpy as np
 
-from .reader import GGML_BLOCK_INFO, GGMLType
+from .reader import GGMLType
 
 QK = 32       # simple-quant block
 QK_K = 256    # super-block

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from .layers import TARGETS, LoRAAdapter, LoRAPack
+from .layers import LoRAAdapter, LoRAPack
 
 logger = logging.getLogger(__name__)
 

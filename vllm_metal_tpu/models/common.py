@@ -8,7 +8,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.quant_matmul import QuantLinear, _unpack_q4, _expand_groups
+from ..ops.quant_matmul import QuantLinear, _unpack_q4
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float,

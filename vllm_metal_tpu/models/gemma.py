@@ -16,10 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.quant_matmul import QuantLinear, linear
+from ..ops.quant_matmul import linear
 from ..utils import static_dataclass
 from .common import activation, apply_rope, rms_norm, rope_frequencies
-from .llama import AttnFn, LlamaModel, LlamaLayerWeights, LlamaWeights
+from .llama import LlamaModel, LlamaLayerWeights, LlamaWeights
 from .registry import register_model
 
 

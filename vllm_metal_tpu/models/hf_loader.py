@@ -14,7 +14,7 @@ import json
 import logging
 import os
 from glob import glob
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,8 +8,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig
-from ..ops.quant_matmul import QuantLinear, linear
+from ..ops.quant_matmul import linear
 from ..utils import static_dataclass
 from .common import rms_norm
 from .llama import LlamaLayerWeights, LlamaModel, LlamaWeights

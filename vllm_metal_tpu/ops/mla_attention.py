@@ -15,8 +15,6 @@ cache traffic is R + rope_dim per token regardless of head count.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -25,7 +25,6 @@ Supported widths (matching reference names):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

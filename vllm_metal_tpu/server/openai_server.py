@@ -7,7 +7,7 @@ import json
 import logging
 import time
 import uuid
-from typing import Any, Optional
+from typing import Any
 
 from aiohttp import web
 

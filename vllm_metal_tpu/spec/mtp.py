@@ -13,8 +13,7 @@ target's lm_head to emit a 1-token draft.  Like the reference, drafts are
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ earlier in the sequence and propose the tokens that followed it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass
