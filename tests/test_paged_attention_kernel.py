@@ -48,7 +48,9 @@ def setup_case(query_lens, context_lens, *, qh=4, kvh=2, d=128, bs=32,
 
 def run_both(q, k, v, md, **kw):
     want = paged_attention_ref(q, k[1], v[1], md, **kw)
-    got = paged_attention(q, k, v, md, layer_idx=1, interpret=True, **kw)
+    # kernel input is the combined pool: K rows [0,bs), V rows [bs,2bs)
+    kv = jnp.concatenate([k, v], axis=3)
+    got = paged_attention(q, kv, md, layer_idx=1, interpret=True, **kw)
     return got, want
 
 

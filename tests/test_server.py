@@ -169,3 +169,19 @@ def test_embeddings_endpoint(client_factory):
         assert abs(n - 1.0) < 1e-3
 
     asyncio.run(run_with_client(ae, srv, fn))
+
+def test_invalid_params_return_400(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "01", "max_tokens": -5})
+        assert r.status == 400
+        data = await r.json()
+        assert "max_tokens" in data["error"]["message"]
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "0"}],
+            "temperature": -1.0})
+        assert r.status == 400
+
+    asyncio.run(run_with_client(ae, srv, fn))

@@ -39,15 +39,15 @@ def bench_case(name, query_lens, context_lens, qh, kvh, d, bs, iters=30):
         seq_pad=max(64, len(query_lens)),
         max_blocks_per_seq=max(len(t) for t in tables) + 1)
     key = jax.random.PRNGKey(0)
-    kc = jax.random.normal(key, (2, kvh, nxt + 1, bs, d), jnp.bfloat16)
+    kc = jax.random.normal(key, (2, kvh, nxt + 1, 2 * bs, d), jnp.bfloat16)
     q = jax.random.normal(key, (token_pad, qh, d), jnp.bfloat16)
 
-    fn = jax.jit(lambda q, k, v: paged_attention(q, k, v, md, 1))
-    out = fn(q, kc, kc)
+    fn = jax.jit(lambda q, kv: paged_attention(q, kv, md, 1))
+    out = fn(q, kc)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(q, kc, kc)
+        out = fn(q, kc)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     kv_bytes = sum(cl * kvh * d * 2 * 2 for cl in context_lens)

@@ -29,6 +29,9 @@ class PagedAttentionBackend:
         self.cfg = model_cfg
         if use_pallas is None:
             use_pallas = (jax.default_backend() == "tpu"
+                          # Mosaic lane constraint: kernels assume the head
+                          # dim fills 128-lane registers
+                          and model_cfg.head_dim % 128 == 0
                           and not envs.FORCE_REFERENCE_ATTENTION)
         self.use_pallas = use_pallas
         self.scale = model_cfg.extra.get(
@@ -67,7 +70,7 @@ class PagedAttentionBackend:
         if self.use_pallas:
             from ..ops.paged_attention_kernel import paged_attention
             out = paged_attention(
-                q, cache.k, cache.v, md, layer_idx,
+                q, cache.kv, md, layer_idx,
                 scale=self.scale, sliding_window=window, sinks=sinks,
                 logit_softcap=self.cfg.attn_logit_softcap,
                 interpret=bool(envs.PALLAS_INTERPRET))

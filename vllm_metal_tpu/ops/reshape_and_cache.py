@@ -6,13 +6,17 @@ TPU analogue of the reference's ``ReshapeAndCachePrimitive``
 ``reshape_and_cache.metal:99``), and for the same reason: the functional
 ``cache.at[...].set`` scatter is NOT lowered in place by XLA inside the
 layer loop — each layer copies the entire multi-GB pool (measured ~370
-ms/step on an 8B model).  This kernel aliases the pools through
+ms/step on an 8B model).  This kernel aliases the pool through
 ``input_output_aliases`` so only the touched rows move.
 
+The pool is the combined layout ``[L, KH, NB, 2*bs, D]`` (K rows [0, bs),
+V rows [bs, 2bs) of each block — see ``attention/kv_cache.py``).
+
 Mosaic constraint: HBM slices must be 8-sublane aligned, so single token
-rows are written read-modify-write through an aligned ``[KH, 8, D]`` staging
-tile.  The staging tile is kept across consecutive tokens (prefill writes
-are sequential runs), so full blocks flush once per 8 tokens.
+rows are written read-modify-write through aligned ``[KH, 8, D]`` staging
+tiles (one for the K rows, one for the V rows of the same block).  The
+staging tiles are kept across consecutive tokens (prefill writes are
+sequential runs), so full tiles flush once per 8 tokens.
 """
 
 from __future__ import annotations
@@ -27,16 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 _ALIGN = 8
 
 
-def _rac_kernel(layer_ref, slots_ref, k_new, v_new, k_in, v_in,
-                k_out, v_out, kbuf, vbuf, sems, *, t_pad: int, bs: int):
+def _rac_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
+                kv_out, kbuf, vbuf, sems, *, t_pad: int, bs: int):
     li = layer_ref[0]
 
     def flush(blk, base):
         base = pl.multiple_of(base, _ALIGN)
+        vbase = pl.multiple_of(base + bs, _ALIGN)
         cpk = pltpu.make_async_copy(
-            kbuf, k_out.at[li, :, blk, pl.ds(base, _ALIGN)], sems.at[0])
+            kbuf, kv_out.at[li, :, blk, pl.ds(base, _ALIGN)], sems.at[0])
         cpv = pltpu.make_async_copy(
-            vbuf, v_out.at[li, :, blk, pl.ds(base, _ALIGN)], sems.at[1])
+            vbuf, kv_out.at[li, :, blk, pl.ds(vbase, _ALIGN)], sems.at[1])
         cpk.start()
         cpv.start()
         cpk.wait()
@@ -44,10 +49,11 @@ def _rac_kernel(layer_ref, slots_ref, k_new, v_new, k_in, v_in,
 
     def load(blk, base):
         base = pl.multiple_of(base, _ALIGN)
+        vbase = pl.multiple_of(base + bs, _ALIGN)
         cpk = pltpu.make_async_copy(
-            k_out.at[li, :, blk, pl.ds(base, _ALIGN)], kbuf, sems.at[2])
+            kv_out.at[li, :, blk, pl.ds(base, _ALIGN)], kbuf, sems.at[2])
         cpv = pltpu.make_async_copy(
-            v_out.at[li, :, blk, pl.ds(base, _ALIGN)], vbuf, sems.at[3])
+            kv_out.at[li, :, blk, pl.ds(vbase, _ALIGN)], vbuf, sems.at[3])
         cpk.start()
         cpv.start()
         cpk.wait()
@@ -93,19 +99,20 @@ def _rac_kernel(layer_ref, slots_ref, k_new, v_new, k_in, v_in,
         flush(cur_blk, cur_base)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",),
-                   donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_size"),
+                   donate_argnums=(0,))
 def reshape_and_cache(
-    k_cache: jax.Array,        # [L, KH, NB, bs, D]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,       # [L, KH, NB, 2*bs, D] (aliased in place)
     k_new: jax.Array,          # [T, KH, D]
     v_new: jax.Array,
     slot_mapping: jax.Array,   # [T] (-1 = skip; ascending within requests)
     layer_idx,                 # int or traced scalar
+    block_size: int = 0,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    l, kh, nb, bs, d = k_cache.shape
-    assert bs % _ALIGN == 0
+) -> jax.Array:
+    l, kh, nb, bs2, d = kv_cache.shape
+    bs = block_size or bs2 // 2
+    assert bs * 2 == bs2 and bs % _ALIGN == 0
     t_pad = k_new.shape[0]
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
@@ -116,25 +123,22 @@ def reshape_and_cache(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # k_new
             pl.BlockSpec(memory_space=pltpu.VMEM),   # v_new
-            pl.BlockSpec(memory_space=pl.ANY),       # k pool (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),       # v pool (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),       # kv pool (aliased)
         ],
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((kh, _ALIGN, d), k_cache.dtype),
-            pltpu.VMEM((kh, _ALIGN, d), v_cache.dtype),
+            pltpu.VMEM((kh, _ALIGN, d), kv_cache.dtype),
+            pltpu.VMEM((kh, _ALIGN, d), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)),
-        # args: (layer, slots, k_new, v_new, k_cache, v_cache)
-        input_output_aliases={4: 0, 5: 1},
+        out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        # args: (layer, slots, k_new, v_new, kv_cache)
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(layer, slot_mapping, k_new.astype(k_cache.dtype),
-      v_new.astype(v_cache.dtype), k_cache, v_cache)
+    )(layer, slot_mapping, k_new.astype(kv_cache.dtype),
+      v_new.astype(kv_cache.dtype), kv_cache)

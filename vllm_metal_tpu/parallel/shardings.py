@@ -68,9 +68,7 @@ def shard_weights(weights: Any, mesh: Mesh) -> Any:
 def shard_cache(cache: Any, mesh: Mesh) -> Any:
     spec = cache_pspec()
     return dataclasses.replace(
-        cache,
-        k=jax.device_put(cache.k, NamedSharding(mesh, spec)),
-        v=jax.device_put(cache.v, NamedSharding(mesh, spec)))
+        cache, kv=jax.device_put(cache.kv, NamedSharding(mesh, spec)))
 
 
 class TPContext:

@@ -72,7 +72,10 @@ class AsyncEngine:
         if q is not None and self.loop is not None:
             self.loop.call_soon_threadsafe(q.put_nowait, item)
 
+    _MAX_STEP_FAILURES = 3
+
     def _run(self) -> None:
+        failures = 0
         while not self._stop:
             self._drain_inbox()
             if not self.engine.has_unfinished():
@@ -81,8 +84,24 @@ class AsyncEngine:
                 continue
             try:
                 outs = self.engine.step()
-            except Exception:
+                failures = 0
+            except Exception as e:
                 logger.exception("engine step failed")
+                failures += 1
+                if failures >= self._MAX_STEP_FAILURES:
+                    # the engine is wedged (e.g. device backend error):
+                    # fail every in-flight request instead of hanging the
+                    # clients, then drop the engine state for a clean retry
+                    # (mirrors the reference's engine-death request abort,
+                    # /root/reference/vllm_metal/v1/engine_core.py)
+                    err = RuntimeError(f"engine step failed: {e!r}")
+                    for rid in list(self._queues):
+                        try:
+                            self.engine.abort_request(rid)
+                        except Exception:
+                            pass
+                        self._emit(rid, err)
+                    failures = 0
                 continue
             for out in outs:
                 self._emit(out.request_id, out)

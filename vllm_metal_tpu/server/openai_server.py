@@ -147,7 +147,11 @@ class OpenAIServer:
                 {"error": "batch prompts not supported yet"}, status=400)
         else:
             prompt_ids = self.tok.encode(prompt)
-        params = _params_from_request(body)
+        try:
+            params = _params_from_request(body)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}},
+                                     status=400)
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
         stream = bool(body.get("stream", False))
         if stream:
@@ -179,7 +183,11 @@ class OpenAIServer:
         messages = body.get("messages", [])
         prompt = self.tok.apply_chat_template(messages)
         prompt_ids = self.tok.encode(prompt, add_special_tokens=False)
-        params = _params_from_request(body)
+        try:
+            params = _params_from_request(body)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}},
+                                     status=400)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if bool(body.get("stream", False)):
             return await self._stream(request, rid, prompt_ids, params,

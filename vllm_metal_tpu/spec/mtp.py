@@ -92,7 +92,7 @@ class MTPProposer:
         model = self.model
 
         @jax.jit
-        def fwd(head: MTPHeadWeights, target_weights, k_cache, v_cache,
+        def fwd(head: MTPHeadWeights, target_weights, kv_cache,
                 hidden: jax.Array, token: jax.Array, md):
             """hidden [H], token []: one draft token via shared-KV attention.
 
@@ -111,8 +111,9 @@ class MTPProposer:
             t_pad = md.positions.shape[0]
             q = jnp.pad(q1, ((0, t_pad - 1), (0, 0), (0, 0)))
             layer = cfg.num_layers - 1
+            bs = kv_cache.shape[3] // 2       # combined [.., 2*bs, d] blocks
             out = paged_attention_ref(
-                q, k_cache[layer], v_cache[layer], md,
+                q, kv_cache[layer, :, :, :bs], kv_cache[layer, :, :, bs:], md,
                 scale=cfg.head_dim ** -0.5)[:1]
             x = x + linear(out.reshape(1, -1), head.wo)
             hm = rms_norm(x, head.mlp_norm, cfg.rms_norm_eps)
@@ -139,7 +140,7 @@ class MTPProposer:
             token_pad=8, seq_pad=runner.cfg.scheduler.max_num_seqs,
             max_blocks_per_seq=runner.max_blocks_per_seq)
         fwd = self._forward()
-        tok = fwd(self.head, runner.weights, runner.cache.k, runner.cache.v,
+        tok = fwd(self.head, runner.weights, runner.cache.kv,
                   jnp.asarray(hidden), jnp.asarray(token_ids[-1], jnp.int32),
                   md)
         return [int(tok)]
