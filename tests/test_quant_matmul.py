@@ -86,3 +86,19 @@ def test_dequantize_ref_q4_exact_vs_numpy():
     s = np.asarray(ql.scales, np.float32).T.repeat(32, axis=1)
     b = np.asarray(ql.biases, np.float32).T.repeat(32, axis=1)
     np.testing.assert_allclose(w, q * s + b, rtol=1e-6, atol=1e-6)
+
+
+def test_linear_small_dims_fall_back():
+    # N=64 (< 128 lanes) / K=256 (4 scale rows per k-tile): no Mosaic
+    # tiling exists; linear() must route to linear_ref instead of crashing
+    # the engine step (hit when serving toy GGUF checkpoints).
+    from vllm_metal_tpu.ops.quant_matmul import _pallas_supported, linear
+    ql = make_q4(64, 256)
+    assert not _pallas_supported(ql)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((8, 256)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    got = linear(x, ql, jnp.float32, use_pallas=True)   # must fall back
+    want = linear_ref(x, ql, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    assert _pallas_supported(make_q4(256, 512))         # real dims still go

@@ -11,26 +11,32 @@ Design (ragged q tiles): the packed varlen token dim is cut into aligned
 Mosaic; no dynamic-offset DMAs).  A tile may span several sequences — the
 kernel walks their (sequence, kv-tile) pairs with ONE software-pipelined
 loop backed by an NBUF-deep DMA ring, so KV prefetch depth spans sequence
-boundaries (decode is DMA-latency bound: with double buffering each tile
-and each sequence handoff stalls on one transfer).  Row masking confines
-the online-softmax update to each sequence's rows, so the m/l/acc state of
-one physical tile is shared conflict-free by all its sequences: a row's
-pre-first-touch garbage accumulation is annihilated by the alpha=exp(-1e30
-- m_real)=0 rescale the first time its own sequence scores it.
-GQA: all G q-heads of one kv head ride each KV block load (the reference's
-head-mapping / window-mode trick).  Sliding window skips invisible leading
-KV tiles.  Semantics oracle: ``paged_attention.paged_attention_ref``.
+boundaries.  Every grid step processes ALL kv heads: the pool layout
+``[L, NB, KH, 2bs, D]`` packs K+V for all heads of a block contiguously,
+so one ~256KB descriptor fetches a whole block — decode attention is bound
+by DMA-engine per-descriptor throughput, NOT HBM bandwidth (measured:
+32KB/head descriptors sustain ~60 GB/s regardless of ring depth, block
+size, or compute intensity; XLA's big-tile weight streams reach ~600 GB/s).
+Row masking confines the online-softmax update to each sequence's rows, so
+the m/l/acc state of one physical tile is shared conflict-free by all its
+sequences: a row's pre-first-touch garbage accumulation is annihilated by
+the alpha=exp(-1e30 - m_real)=0 rescale the first time its own sequence
+scores it.  GQA: all G q-heads of one kv head ride each KV block load (the
+reference's head-mapping trick); the G members are additionally stacked on
+the matmul row dim so decode's 8-row tiles still feed the MXU 32+ rows.
+Sliding window skips invisible leading KV tiles.  Semantics oracle:
+``paged_attention.paged_attention_ref``.
 
 Layouts:
   q:        [T, q_heads, head_dim] -> internally [kvh, G, T', head_dim]
-  kv_cache: [L, kv_heads, num_blocks, 2*block_size, head_dim] — K in rows
-            [0, bs), V in rows [bs, 2bs) of each block, so ONE descriptor
-            per block fetches both (decode is DMA-issue-overhead bound).
+  kv_cache: [L, num_blocks, kv_heads, 2*block_size, head_dim] — K in rows
+            [0, bs), V in rows [bs, 2bs) of each (block, head).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -38,15 +44,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
-
 DEFAULT_BQ = 128      # query rows per tile
-# kv positions per inner tile: per-iteration costs (semaphore waits, cursor
-# math, softmax state update) amortize over the tile, so bigger is faster
-# until VMEM/DMA granularity pushes back
-KV_TILE = int(os.environ.get("VLLM_METAL_TPU_KV_TILE", "512"))
+# kv positions per inner tile: per-iteration costs (cursor math, softmax
+# state update) amortize over the tile; DMA descriptors are per block
+KV_TILE = int(os.environ.get("VLLM_METAL_TPU_KV_TILE", "128"))
 NBUF = int(os.environ.get("VLLM_METAL_TPU_KV_NBUF", "4"))  # DMA ring depth
 NEG_INF = -1e30
+# scoped-vmem budget for one grid step (chip limit 16MB; leave headroom for
+# Mosaic's own spills, semaphores, and the double-buffered q/out blocks)
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _vmem_bytes(hc: int, g: int, bq: int, d: int, bs: int,
+                kv_tile: int) -> int:
+    gbq = g * bq
+    return (2 * 2 * (hc * gbq * d * 2)            # q + out, double-buffered
+            + NBUF * (kv_tile // bs) * hc * 2 * bs * d * 2   # kv ring
+            + hc * gbq * d * 4                    # acc
+            + 2 * hc * gbq * 128 * 4              # m, l
+            + hc * gbq * kv_tile * 4)             # scores
 
 
 def _kernel(
@@ -57,14 +73,14 @@ def _kernel(
     # outputs
     o_blk,
     # scratch
-    kvbuf, acc, m_s, l_s, kvsem,
+    kvbuf, acc, m_s, l_s, s_scr, kvsem,
     *,
-    bq: int, bs: int, g: int, d: int, scale: float, kv_tile: int,
+    bq: int, bs: int, hc: int, g: int, d: int, scale: float, kv_tile: int,
     sliding_window: Optional[int], logit_softcap: Optional[float],
     has_sinks: bool,
 ):
     KV_TILE = kv_tile
-    h = pl.program_id(0)
+    hi0 = pl.program_id(0)            # head-block index (hc heads per step)
     ti = pl.program_id(1)
     c = KV_TILE // bs                 # cache blocks per kv tile
     mb = block_tables.shape[1]
@@ -73,13 +89,13 @@ def _kernel(
     row_end = row0 + bq
 
     # init online-softmax state (scratch persists across grid steps).
-    # All g head-group members are stacked on the row dim ([g*bq, ...]) so
-    # the per-tile QK/PV matmuls and softmax updates run once per tile
-    # instead of g times (decode's bq=8 rows alone starve the VPU/MXU).
+    # All g head-group members are stacked on the row dim ([hc, g*bq, ...])
+    # so the per-tile QK/PV matmuls and softmax updates run once per tile
+    # (decode's bq=8 rows alone starve the VPU/MXU).
     gbq = g * bq
-    acc[...] = jnp.zeros((gbq, d), jnp.float32)
-    m_s[...] = jnp.full((gbq, 128), NEG_INF, jnp.float32)
-    l_s[...] = jnp.zeros((gbq, 128), jnp.float32)
+    acc[...] = jnp.zeros((hc, gbq, d), jnp.float32)
+    m_s[...] = jnp.full((hc, gbq, 128), NEG_INF, jnp.float32)
+    l_s[...] = jnp.zeros((hc, gbq, 128), jnp.float32)
 
     rows_g = jax.lax.broadcasted_iota(jnp.int32, (gbq, KV_TILE), 0)
     rows = rows_g - (rows_g // bq) * bq              # tile-local row id
@@ -89,13 +105,14 @@ def _kernel(
     nbuf = kvbuf.shape[0]
 
     def tile_dma(seq, tile, slot):
-        # one descriptor per cache block moves its K AND V rows ([2bs, d])
+        # ONE descriptor per cache block moves K AND V for hc kv heads (a
+        # leading-dim slice of the block's [KH, 2bs, D] body is contiguous)
         copies = []
         for ci in range(c):
             blk_idx = jnp.minimum(tile * c + ci, mb - 1)
             blk = block_tables[seq, blk_idx]
             copies.append(pltpu.make_async_copy(
-                kv_hbm.at[li, h, blk],
+                kv_hbm.at[li, blk, pl.ds(hi0 * hc, hc)],
                 kvbuf.at[slot, ci],
                 kvsem.at[slot, ci]))
         return copies
@@ -127,44 +144,33 @@ def _kernel(
             start_tile = jnp.int32(0)
         return q_lo, q_hi, pos_row0, start_tile, n_tiles
 
-    def advance_seq(s):
-        """First seq >= s with rows inside this q tile (or the stop seq)."""
-        def cond(x):
-            x1 = jnp.minimum(x + 1, s_max)
-            return (x < s_max) & (qsl[x] < row_end) \
-                & (qsl[x1] <= jnp.maximum(qsl[x], row0))
-        return jax.lax.while_loop(cond, lambda x: x + 1, s)
+    # Cursor advance is BRANCH-FREE scalar arithmetic: every lax.cond /
+    # while_loop in the hot loop costs ~1us of Mosaic control overhead
+    # (measured: per-iteration cost is invariant to data volume, descriptor
+    # count, and matmul count — control flow dominates).  Correctness
+    # contract: zero-query sequences only appear at the batch tail (the
+    # scheduler/metadata builder guarantee), so "next seq" is always s+1.
+    def seq_has_work(s):
+        s1 = jnp.minimum(s + 1, s_max)
+        return (s < s_max) & (qsl[s] < row_end) \
+            & (qsl[s1] > jnp.maximum(qsl[s], row0))
 
-    def seq_valid(s):
-        return (s < s_max) & (qsl[jnp.minimum(s, s_max)] < row_end)
-
-    def next_cursor(s, t):
-        """Successor of a VALID (seq, tile) work item."""
-        n_tiles = seq_params(s)[4]
-
-        def adv(_):
-            s2 = advance_seq(s + 1)
-            v2 = seq_valid(s2)
-            t2 = jnp.where(v2, seq_params(s2)[3], 0)
-            return s2, t2, v2
-
-        return jax.lax.cond(
-            t + 1 < n_tiles,
-            lambda _: (s, t + 1, jnp.bool_(True)), adv, 0)
-
-    def guarded_next(s, t, v):
-        return jax.lax.cond(
-            v, lambda _: next_cursor(s, t),
-            lambda _: (s, t, jnp.bool_(False)), 0)
+    def advance(s, t, v, n_t):
+        """(s, t, v) -> successor work item, given n_tiles(s)."""
+        wrap = t + 1 >= n_t
+        s2 = s + wrap.astype(jnp.int32)
+        t2 = jnp.where(wrap, seq_params(s2)[3], t + 1)
+        v2 = v & (~wrap | seq_has_work(s2))
+        return s2, t2, v2
 
     def issue_and_advance(slot, s, t, v):
         @pl.when(v)
         def _():
             start_kv(s, t, slot)
-        return guarded_next(s, t, v)
+        return advance(s, t, v, seq_params(s)[4])
 
-    s0 = advance_seq(tile_first_seq[ti * (bq // 8)])
-    v0 = seq_valid(s0)
+    s0 = tile_first_seq[ti * (bq // 8)]
+    v0 = seq_has_work(s0)
     t0 = jnp.where(v0, seq_params(s0)[3], 0)
 
     # fill the DMA ring: prefetch cursor runs nbuf items ahead of compute
@@ -172,7 +178,7 @@ def _kernel(
     for i in range(nbuf):
         ps, pt, pv = issue_and_advance(i, ps, pt, pv)
 
-    qv = q_blk[0].reshape(gbq, d)                        # stacked heads
+    qv = q_blk[...].reshape(hc, gbq, d)                  # stacked heads
 
     def loop_body(carry):
         slot, cs, ct, cv, ps, pt, pv = carry
@@ -181,40 +187,42 @@ def _kernel(
         row_in = (rows >= q_lo) & (rows < q_hi)
 
         wait_kv(cs, ct, slot)
-        tile = kvbuf[slot]                               # [c, 2bs, d] bf16
-        kt = tile[:, :bs].reshape(KV_TILE, d)
-        vt = tile[:, bs:].reshape(KV_TILE, d)
+        # per-block batched QK dots straight out of the DMA buffer
+        for ci in range(c):
+            s_scr[:, :, ci * bs:(ci + 1) * bs] = jax.lax.dot_general(
+                qv, kvbuf[slot, ci, :, :bs],
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [hc, gbq, bs]
+        s = s_scr[...] * scale                           # [hc, gbq, KV_TILE]
         kv_pos = ct * KV_TILE + cols
         mask = row_in & (kv_pos <= row_pos)
         if sliding_window is not None:
             mask &= kv_pos > row_pos - sliding_window
-
-        # scores against K first, so the V transfer hides behind the QK
-        # matmul + softmax update
-        s = jax.lax.dot_general(
-            qv, kt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [gbq, KV_TILE]
         if logit_softcap:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
-        s = jnp.where(mask, s, NEG_INF)
+        s = jnp.where(mask[None], s, NEG_INF)
 
-        m_prev = m_s[:, 0:1]                             # [gbq, 1]
+        m_prev = m_s[:, :, 0:1]                          # [hc, gbq, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_s[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc[...] = acc[...] * alpha
-        m_s[...] = jnp.broadcast_to(m_new, (gbq, 128))
-        l_s[...] = jnp.broadcast_to(l_new, (gbq, 128))
+        p = jnp.exp(s - m_new).astype(jnp.bfloat16)
+        l_new = l_s[:, :, 0:1] * alpha + jnp.sum(
+            p.astype(jnp.float32), axis=-1, keepdims=True)
+        new_acc = acc[...] * alpha
+        m_s[...] = jnp.broadcast_to(m_new, (hc, gbq, 128))
+        l_s[...] = jnp.broadcast_to(l_new, (hc, gbq, 128))
 
-        acc[...] = acc[...] + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for ci in range(c):
+            new_acc = new_acc + jax.lax.dot_general(
+                p[:, :, ci * bs:(ci + 1) * bs], kvbuf[slot, ci, :, bs:],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [hc, gbq, d]
+        acc[...] = new_acc
 
         # the slot is consumed — reuse it for the next prefetch
         ps, pt, pv = issue_and_advance(slot, ps, pt, pv)
-        cs, ct, cv = next_cursor(cs, ct)
+        cs, ct, cv = advance(cs, ct, cv, seq_params(cs)[4])
         slot = jnp.where(slot + 1 == nbuf, 0, slot + 1)
         return slot, cs, ct, cv, ps, pt, pv
 
@@ -222,13 +230,18 @@ def _kernel(
         lambda carry: carry[3], loop_body,
         (jnp.int32(0), s0, t0, v0, ps, pt, pv))
 
-    for gi in range(g):
-        sl = slice(gi * bq, (gi + 1) * bq)
-        l = l_s[sl, 0:1]
-        if has_sinks:
-            sink = sinks_smem[0, h * g + gi]
-            l = l + jnp.exp(sink - m_s[sl, 0:1])
-        o_blk[0, gi] = (acc[sl] / jnp.maximum(l, 1e-30)).astype(o_blk.dtype)
+    if has_sinks:
+        for h in range(hc):
+            for gi in range(g):
+                sl = slice(gi * bq, (gi + 1) * bq)
+                sink = sinks_smem[0, (hi0 * hc + h) * g + gi]
+                l = l_s[h, sl, 0:1] + jnp.exp(sink - m_s[h, sl, 0:1])
+                o_blk[h, gi] = (acc[h, sl] / jnp.maximum(l, 1e-30)
+                                ).astype(o_blk.dtype)
+    else:
+        l = l_s[:, :, 0:1]
+        o_blk[...] = (acc[...] / jnp.maximum(l, 1e-30)).reshape(
+            hc, g, bq, d).astype(o_blk.dtype)
 
 
 @functools.partial(
@@ -237,7 +250,7 @@ def _kernel(
                      "interpret"))
 def _paged_attention_call(
     q_t: jax.Array,            # [kvh, G, T', d] bf16 (T' multiple of bq)
-    kv_cache: jax.Array,       # [L, kvh, nb, 2*bs, d] (stacked layer pools)
+    kv_cache: jax.Array,       # [L, nb, kvh, 2*bs, d] (stacked layer pools)
     sinks: Optional[jax.Array],         # [qh] f32 or None
     layer: jax.Array,          # [1] layer index into the stacked pools
     qsl: jax.Array,            # [S+1] query_start_loc
@@ -252,9 +265,9 @@ def _paged_attention_call(
     interpret: bool,
 ) -> jax.Array:
     kvh, g, t2, d = q_t.shape
-    _, _, nb, bs2, _ = kv_cache.shape
+    _, nb, _, bs2, _ = kv_cache.shape
     bs = bs2 // 2
-    kv_tile = max(KV_TILE, bs)        # one-DMA tiles for large blocks
+    kv_tile = max(KV_TILE, bs)        # one-descriptor tiles for large blocks
     assert kv_tile % bs == 0, (kv_tile, bs)
     assert t2 % bq == 0
     n_tiles = t2 // bq
@@ -264,27 +277,38 @@ def _paged_attention_call(
     sinks_arr = (sinks.astype(jnp.float32).reshape(1, kvh * g)
                  if has_sinks else jnp.zeros((1, kvh * g), jnp.float32))
 
+    # kv heads per grid step: ALL heads per step minimizes control-flow
+    # iterations (decode's bound), but the per-step VMEM footprint scales
+    # with hc — halve until the scoped-vmem budget fits (prefill's bq=128
+    # tiles put q/out/softmax state at ~hc*1.8MB; prefill is MXU-bound so
+    # smaller hc costs it nothing).
+    hc = kvh
+    while hc > 1 and _vmem_bytes(hc, g, bq, d, bs, kv_tile) > _VMEM_BUDGET:
+        hc //= 2
+    assert kvh % hc == 0
+
     kernel = functools.partial(
-        _kernel, bq=bq, bs=bs, g=g, d=d, scale=scale, kv_tile=kv_tile,
-        sliding_window=sliding_window, logit_softcap=logit_softcap,
-        has_sinks=has_sinks)
+        _kernel, bq=bq, bs=bs, hc=hc, g=g, d=d, scale=scale,
+        kv_tile=kv_tile, sliding_window=sliding_window,
+        logit_softcap=logit_softcap, has_sinks=has_sinks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(kvh, n_tiles),
+        grid=(kvh // hc, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
-                         memory_space=pltpu.VMEM),     # q tile
+            pl.BlockSpec((hc, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
+                         memory_space=pltpu.VMEM),     # q tile (hc heads)
             pl.BlockSpec(memory_space=pl.ANY),         # kv pool (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),     # sinks
         ],
-        out_specs=pl.BlockSpec((1, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
+        out_specs=pl.BlockSpec((hc, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, c, 2 * bs, d), jnp.bfloat16),  # kv ring
-            pltpu.VMEM((g * bq, d), jnp.float32),          # acc (heads stacked)
-            pltpu.VMEM((g * bq, 128), jnp.float32),        # m
-            pltpu.VMEM((g * bq, 128), jnp.float32),        # l
+            pltpu.VMEM((NBUF, c, hc, 2 * bs, d), jnp.bfloat16),  # kv ring
+            pltpu.VMEM((hc, g * bq, d), jnp.float32),     # acc
+            pltpu.VMEM((hc, g * bq, 128), jnp.float32),   # m
+            pltpu.VMEM((hc, g * bq, 128), jnp.float32),   # l
+            pltpu.VMEM((hc, g * bq, kv_tile), jnp.float32),  # scores
             pltpu.SemaphoreType.DMA((NBUF, c)),            # kvsem
         ],
     )
@@ -300,7 +324,7 @@ def _paged_attention_call(
 
 def paged_attention(
     q: jax.Array,              # [T, qh, d]
-    kv_cache: jax.Array,       # [L, kvh, nb, 2*bs, d] stacked combined pools
+    kv_cache: jax.Array,       # [L, nb, kvh, 2*bs, d] stacked combined pools
     md,                        # AttentionMetadata
     layer_idx=0,               # int or traced scalar
     *,
@@ -312,7 +336,7 @@ def paged_attention(
     bq: Optional[int] = None,
 ) -> jax.Array:
     t, qh, d = q.shape
-    kvh = kv_cache.shape[1]
+    kvh = kv_cache.shape[2]
     g = qh // kvh
     if scale is None:
         scale = d ** -0.5

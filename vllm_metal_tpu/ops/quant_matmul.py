@@ -274,6 +274,31 @@ def _quant_matmul_pallas(x: jax.Array, ql: QuantLinear,
     raise ValueError(ql.kind)
 
 
+def _pallas_supported(ql: QuantLinear) -> bool:
+    """Whether the fused kernels can tile this layer.
+
+    Tiny dimensions (unit-test vocabularies, toy models) have no valid
+    Mosaic tiling — N below 128 lanes, or too few transposed-scale rows
+    for an 8-sublane block — and must fall back to ``linear_ref`` instead
+    of crashing the engine step.
+    """
+    def tile(dim, cands):
+        return next((c for c in cands if dim % c == 0), None)
+
+    if tile(ql.out_features, (256, 128, 512)) is None:
+        return False
+    g = ql.group_size
+    if ql.kind == "q4":
+        tb = tile(ql.in_features // 2, (256, 128, 512, 64))
+        return tb is not None and tb % g == 0 and (tb // g) % 8 == 0
+    if ql.kind == "q8":
+        tk = tile(ql.in_features, (512, 256, 128, 1024))
+        if tk is None or tk % g:
+            return False
+        return (tk // g) % 8 == 0 or tk == ql.in_features
+    return False
+
+
 def linear_ref(x: jax.Array, ql: QuantLinear,
                out_dtype=jnp.bfloat16) -> jax.Array:
     """Pure-jnp reference: x [..., K] -> [..., N].
@@ -296,7 +321,7 @@ def linear(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       or envs.PALLAS_INTERPRET)
-    if not use_pallas:
+    if not use_pallas or not _pallas_supported(ql):
         return linear_ref(x, ql, out_dtype)
 
     lead = x.shape[:-1]

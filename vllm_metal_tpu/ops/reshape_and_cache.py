@@ -9,8 +9,8 @@ layer loop — each layer copies the entire multi-GB pool (measured ~370
 ms/step on an 8B model).  This kernel aliases the pool through
 ``input_output_aliases`` so only the touched rows move.
 
-The pool is the combined layout ``[L, KH, NB, 2*bs, D]`` (K rows [0, bs),
-V rows [bs, 2bs) of each block — see ``attention/kv_cache.py``).
+The pool is the combined layout ``[L, NB, KH, 2*bs, D]`` (K rows [0, bs),
+V rows [bs, 2bs) of each (block, head) — see ``attention/kv_cache.py``).
 
 Mosaic constraint: HBM slices must be 8-sublane aligned, so single token
 rows are written read-modify-write through aligned ``[KH, 8, D]`` staging
@@ -39,9 +39,9 @@ def _rac_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
         base = pl.multiple_of(base, _ALIGN)
         vbase = pl.multiple_of(base + bs, _ALIGN)
         cpk = pltpu.make_async_copy(
-            kbuf, kv_out.at[li, :, blk, pl.ds(base, _ALIGN)], sems.at[0])
+            kbuf, kv_out.at[li, blk, :, pl.ds(base, _ALIGN)], sems.at[0])
         cpv = pltpu.make_async_copy(
-            vbuf, kv_out.at[li, :, blk, pl.ds(vbase, _ALIGN)], sems.at[1])
+            vbuf, kv_out.at[li, blk, :, pl.ds(vbase, _ALIGN)], sems.at[1])
         cpk.start()
         cpv.start()
         cpk.wait()
@@ -51,9 +51,9 @@ def _rac_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
         base = pl.multiple_of(base, _ALIGN)
         vbase = pl.multiple_of(base + bs, _ALIGN)
         cpk = pltpu.make_async_copy(
-            kv_out.at[li, :, blk, pl.ds(base, _ALIGN)], kbuf, sems.at[2])
+            kv_out.at[li, blk, :, pl.ds(base, _ALIGN)], kbuf, sems.at[2])
         cpv = pltpu.make_async_copy(
-            kv_out.at[li, :, blk, pl.ds(vbase, _ALIGN)], vbuf, sems.at[3])
+            kv_out.at[li, blk, :, pl.ds(vbase, _ALIGN)], vbuf, sems.at[3])
         cpk.start()
         cpv.start()
         cpk.wait()
@@ -102,7 +102,7 @@ def _rac_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
 @functools.partial(jax.jit, static_argnames=("interpret", "block_size"),
                    donate_argnums=(0,))
 def reshape_and_cache(
-    kv_cache: jax.Array,       # [L, KH, NB, 2*bs, D] (aliased in place)
+    kv_cache: jax.Array,       # [L, NB, KH, 2*bs, D] (aliased in place)
     k_new: jax.Array,          # [T, KH, D]
     v_new: jax.Array,
     slot_mapping: jax.Array,   # [T] (-1 = skip; ascending within requests)
@@ -110,7 +110,7 @@ def reshape_and_cache(
     block_size: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    l, kh, nb, bs2, d = kv_cache.shape
+    l, nb, kh, bs2, d = kv_cache.shape
     bs = block_size or bs2 // 2
     assert bs * 2 == bs2 and bs % _ALIGN == 0
     t_pad = k_new.shape[0]

@@ -54,8 +54,8 @@ def weight_pspecs(weights: Any) -> Any:
 
 
 def cache_pspec() -> P:
-    # [L, kv_heads, num_blocks, block_size, head_dim]
-    return P(None, "model", None, None, None)
+    # [L, num_blocks, kv_heads, 2*block_size, head_dim]
+    return P(None, None, "model", None, None)
 
 
 def shard_weights(weights: Any, mesh: Mesh) -> Any:
