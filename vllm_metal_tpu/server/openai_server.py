@@ -7,12 +7,23 @@ import json
 import logging
 import time
 import uuid
-from typing import Any
+from typing import Any, Optional
 
 from aiohttp import web
 
 from ..engine.sampling_params import SamplingParams
 from .async_engine import AsyncEngine
+
+
+@web.middleware
+async def _json_errors(request: web.Request, handler):
+    """Malformed request bodies get a 400 JSON error, not an aiohttp 500."""
+    try:
+        return await handler(request)
+    except json.JSONDecodeError:
+        return web.json_response(
+            {"error": {"message": "request body is not valid JSON"}},
+            status=400)
 
 logger = logging.getLogger(__name__)
 
@@ -49,10 +60,21 @@ class OpenAIServer:
         self.tok = tokenizer
         self.model_name = model_name
         self.started = time.time()
+        self.vocab_size = async_engine.engine.cfg.model.vocab_size
+
+    def _check_ids(self, prompt_ids) -> Optional[str]:
+        """Token-id prompts come straight off the wire; an out-of-range id
+        would silently clamp in the embedding gather (XLA semantics) and
+        generate garbage, so reject it at the API edge instead."""
+        for t in prompt_ids:
+            if not isinstance(t, int) or not 0 <= t < self.vocab_size:
+                return (f"prompt token id {t!r} out of range "
+                        f"[0, {self.vocab_size})")
+        return None
 
     # ------------------------------------------------------------------
     def app(self) -> web.Application:
-        app = web.Application()
+        app = web.Application(middlewares=[_json_errors])
         app.router.add_get("/health", self.health)
         app.router.add_get("/ping", self.health)
         app.router.add_get("/v1/models", self.models)
@@ -142,6 +164,10 @@ class OpenAIServer:
         if isinstance(prompt, list) and prompt \
                 and isinstance(prompt[0], int):
             prompt_ids = prompt
+            err = self._check_ids(prompt_ids)
+            if err:
+                return web.json_response({"error": {"message": err}},
+                                         status=400)
         elif isinstance(prompt, list):
             return web.json_response(
                 {"error": "batch prompts not supported yet"}, status=400)
