@@ -102,3 +102,67 @@ def test_linear_small_dims_fall_back():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
     assert _pallas_supported(make_q4(256, 512))         # real dims still go
+
+
+def _stack(qls):
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *qls)
+
+
+@pytest.mark.parametrize("layer", [0, 2])
+def test_q4_stacked_pallas_matches_per_layer(layer):
+    n, k, m = 256, 512, 16
+    qls = [make_q4(n, k, seed=s) for s in range(3)]
+    stacked = _stack(qls)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((m, k)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    want = _quant_matmul_pallas(x, qls[layer], out_dtype=jnp.float32,
+                                interpret=True)
+    got = _quant_matmul_pallas(x, stacked.at_layer(layer),
+                               out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_q8_stacked_pallas_matches_per_layer():
+    n, k, m = 128, 512, 8
+    qls = [make_q8(n, k, seed=s) for s in range(2)]
+    stacked = _stack(qls)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((m, k)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    for layer in range(2):
+        want = _quant_matmul_pallas(x, qls[layer], out_dtype=jnp.float32,
+                                    interpret=True)
+        got = _quant_matmul_pallas(x, stacked.at_layer(layer),
+                                   out_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_stacked_traced_index_under_jit():
+    n, k, m = 256, 512, 8
+    qls = [make_q4(n, k, seed=s) for s in range(3)]
+    stacked = _stack(qls)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((m, k)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+
+    @jax.jit
+    def run(i):
+        return linear(x, stacked.at_layer(i), out_dtype=jnp.float32)
+
+    for layer in range(3):
+        want = linear(x, qls[layer], out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(run(layer)),
+                                   np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_stacked_dense_linear():
+    qls = [QuantLinear.dense(jnp.asarray(
+        np.random.default_rng(s).standard_normal((64, 32)),
+        jnp.float32).astype(jnp.bfloat16)) for s in range(2)]
+    stacked = _stack(qls)
+    x = jnp.ones((4, 32), jnp.bfloat16)
+    for layer in range(2):
+        want = linear(x, qls[layer], out_dtype=jnp.float32)
+        got = linear(x, stacked.at_layer(layer), out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))

@@ -185,10 +185,17 @@ class LlamaModel:
 
     def _forward_scan(self, weights, token_ids, positions, runtime,
                       lora_fn=None) -> jax.Array:
-        """lax.scan over stacked layers; the KV cache rides the carry so
-        updates stay in-place across iterations (XLA while-loop aliasing).
-        Requires a uniform per-layer config (no alternating windows) and the
-        StepRuntime attention seam (not a bare attn_fn)."""
+        """lax.scan over the layer INDEX; stacked weights stay closure-
+        captured scan constants.  QuantLinear leaves are selected lazily via
+        ``at_layer(i)`` — the Pallas matmul kernels index the stacked [L,...]
+        arrays with a prefetched scalar, so per-layer weights are DMA'd
+        tile-by-tile from HBM instead of being materialized by scan's
+        dynamic-slice (which costs a full weight-size HBM copy per layer).
+        Small leaves (norms, biases, sinks) are dynamic-indexed normally.
+        The KV cache rides the carry so updates stay in-place across
+        iterations (XLA while-loop aliasing).  Requires a uniform per-layer
+        config (no alternating windows) and the StepRuntime attention seam
+        (not a bare attn_fn)."""
         cfg = self.cfg
         assert cfg.sliding_window_pattern is None, \
             "scan path needs a uniform sliding-window config"
@@ -196,18 +203,29 @@ class LlamaModel:
         md = runtime.md
         x = self.embed(weights, token_ids)
         cache0 = runtime.final_cache()
+        stacked = weights.layers
+        is_ql = lambda leaf: isinstance(leaf, QuantLinear)  # noqa: E731
 
-        def body(carry, lw):
-            x, cache, i = carry
+        def select_layer(i):
+            def sel(leaf):
+                if isinstance(leaf, QuantLinear):
+                    return leaf.at_layer(i)
+                return jax.lax.dynamic_index_in_dim(leaf, i, 0,
+                                                    keepdims=False)
+            return jax.tree.map(sel, stacked, is_leaf=is_ql)
+
+        def body(carry, i):
+            x, cache = carry
+            lw = select_layer(i)
             lora = lora_fn(i) if lora_fn is not None else None
             q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
             sinks = getattr(lw, "sinks", None)
             out, cache = backend.attend(i, q, k, v, cache, md, sinks)
             x = self.layer_post_attn(lw, x, out, lora=lora)
-            return (x, cache, i + 1), None
+            return (x, cache), None
 
-        (x, cache, _), _ = jax.lax.scan(
-            body, (x, cache0, jnp.int32(0)), weights.layers)
+        (x, cache), _ = jax.lax.scan(
+            body, (x, cache0), jnp.arange(cfg.num_layers, dtype=jnp.int32))
         runtime._cell[0] = cache
         return rms_norm(x, weights.final_norm, cfg.rms_norm_eps)
 
