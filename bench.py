@@ -33,9 +33,22 @@ def log(*a):
 
 
 def make_q4(key, n, k, dtype=jnp.bfloat16):
-    """Random packed-q4 weights. Traced inside one jitted build program so
-    the whole model materializes in a single device dispatch (the remote
-    tunnel makes per-op dispatch latency expensive)."""
+    """Random packed-q4 weights ("kn" transposed layout). Traced inside one
+    jitted build program so the whole model materializes in a single device
+    dispatch (the remote tunnel makes per-op dispatch latency expensive)."""
+    from vllm_metal_tpu.ops.quant_matmul import QuantLinear
+    k1, k2, k3 = jax.random.split(key, 3)
+    packed = jax.random.bits(k1, (k // 2, n), jnp.uint8)
+    scales = (jax.random.uniform(k2, (k // 32, n), jnp.float32) * 0.01
+              ).astype(dtype)
+    biases = (jax.random.uniform(k3, (k // 32, n), jnp.float32) * -0.08
+              ).astype(dtype)
+    return QuantLinear(kind="q4", w=packed, scales=scales, biases=biases,
+                       group_size=32)
+
+
+def make_q4_nk(key, n, k, dtype=jnp.bfloat16):
+    """Row-gatherable "nk" q4 (embedding tables)."""
     from vllm_metal_tpu.ops.quant_matmul import QuantLinear
     k1, k2, k3 = jax.random.split(key, 3)
     packed = jax.random.bits(k1, (n, k // 2), jnp.uint8)
@@ -44,7 +57,7 @@ def make_q4(key, n, k, dtype=jnp.bfloat16):
     biases = (jax.random.uniform(k3, (k // 32, n), jnp.float32) * -0.08
               ).astype(dtype)
     return QuantLinear(kind="q4", w=packed, scales=scales, biases=biases,
-                       group_size=32)
+                       group_size=32, layout="nk")
 
 
 def build_model(preset: str):
@@ -98,7 +111,7 @@ def build_model(preset: str):
                 else None,
             ))
         return LlamaWeights(
-            embedding=make_q4(next(keys), mc.vocab_size, h),
+            embedding=make_q4_nk(next(keys), mc.vocab_size, h),
             layers=layers,
             final_norm=jnp.ones((h,), jnp.bfloat16),
             lm_head=make_q4(next(keys), mc.vocab_size, h),

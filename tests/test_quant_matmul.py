@@ -11,15 +11,16 @@ from vllm_metal_tpu.gguf.quants import (
 )
 from vllm_metal_tpu.gguf.reader import GGMLType
 from vllm_metal_tpu.ops.quant_matmul import (
-    QuantLinear, _quant_matmul_pallas, dequantize_ref, linear, linear_ref,
+    QuantLinear, _dequant_matmul, _group_matmul, dequantize_ref, linear,
+    linear_ref,
 )
 
 
-def make_q4(n, k, seed=0):
+def make_q4(n, k, seed=0, layout="kn"):
     rng = np.random.default_rng(seed)
     w = rng.standard_normal((n, k)).astype(np.float32)
     p = pack_affine_q4(quantize_q4_k(w), GGMLType.Q4_K, (n, k))
-    return QuantLinear.from_packed(p)
+    return QuantLinear.from_packed(p, layout=layout)
 
 
 def make_q8(n, k, seed=0, qt=GGMLType.Q8_0):
@@ -30,29 +31,50 @@ def make_q8(n, k, seed=0, qt=GGMLType.Q8_0):
     return QuantLinear.from_packed(p)
 
 
+def _assert_close(got, want, tol=5e-3):
+    """Scale-normalized max error (kernels accumulate more precisely than
+    linear_ref's bf16-rounded dequant, so elementwise rtol misfires near 0)."""
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < tol, rel
+
+
 @pytest.mark.parametrize("m", [8, 64])
-def test_q4_pallas_matches_reference(m):
+@pytest.mark.parametrize("entry", [_group_matmul, _dequant_matmul])
+def test_q4_pallas_matches_reference(m, entry):
     n, k = 256, 512
     ql = make_q4(n, k)
     x = jnp.asarray(np.random.default_rng(1).standard_normal((m, k)),
                     dtype=jnp.float32).astype(jnp.bfloat16)
     want = linear_ref(x, ql, jnp.float32)
-    got = _quant_matmul_pallas(x, ql, out_dtype=jnp.float32, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=2e-2)
+    got = entry(x, ql, out_dtype=jnp.float32, interpret=True)
+    _assert_close(got, want)
+
+
+def test_q4_w4a8_close_to_reference():
+    n, k, m = 256, 512, 16
+    ql = make_q4(n, k)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((m, k)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    want = np.asarray(linear_ref(x, ql, jnp.float32))
+    got = np.asarray(_group_matmul(x, ql, out_dtype=jnp.float32,
+                                   interpret=True, quantized=True))
+    # int8 activation quantization: ~1-2% relative error
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05, rel
 
 
 @pytest.mark.parametrize("qt,g", [(GGMLType.Q8_0, 32), (GGMLType.Q6_K, 16)])
-def test_q8_pallas_matches_reference(qt, g):
+@pytest.mark.parametrize("entry", [_group_matmul, _dequant_matmul])
+def test_q8_pallas_matches_reference(qt, g, entry):
     n, k, m = 128, 512, 16
     ql = make_q8(n, k, qt=qt)
     assert ql.group_size == g
     x = jnp.asarray(np.random.default_rng(2).standard_normal((m, k)),
                     dtype=jnp.float32).astype(jnp.bfloat16)
     want = linear_ref(x, ql, jnp.float32)
-    got = _quant_matmul_pallas(x, ql, out_dtype=jnp.float32, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=2e-2)
+    got = entry(x, ql, out_dtype=jnp.float32, interpret=True)
+    _assert_close(got, want)
 
 
 def test_linear_handles_leading_dims_and_padding():
@@ -79,7 +101,7 @@ def test_dense_linear():
 def test_dequantize_ref_q4_exact_vs_numpy():
     ql = make_q4(8, 64)
     w = np.asarray(dequantize_ref(ql))
-    packed = np.asarray(ql.w)
+    packed = np.asarray(ql.w).T       # "kn" [K/2, N] -> [N, K/2]
     lo = (packed & 0xF).astype(np.float32)
     hi = (packed >> 4).astype(np.float32)
     q = np.concatenate([lo, hi], axis=-1)  # half-split layout
@@ -88,10 +110,24 @@ def test_dequantize_ref_q4_exact_vs_numpy():
     np.testing.assert_allclose(w, q * s + b, rtol=1e-6, atol=1e-6)
 
 
+def test_nk_layout_matches_kn():
+    """Embedding-table layout dequantizes identically and to_kn round-trips."""
+    nk = make_q4(64, 128, layout="nk")
+    kn = make_q4(64, 128, layout="kn")
+    np.testing.assert_allclose(np.asarray(dequantize_ref(nk)),
+                               np.asarray(dequantize_ref(kn)))
+    conv = nk.to_kn()
+    np.testing.assert_allclose(np.asarray(conv.w), np.asarray(kn.w))
+    x = jnp.ones((4, 128), jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(linear(x, nk, jnp.float32)),
+                               np.asarray(linear(x, kn, jnp.float32,
+                                                 use_pallas=False)))
+
+
 def test_linear_small_dims_fall_back():
-    # N=64 (< 128 lanes) / K=256 (4 scale rows per k-tile): no Mosaic
-    # tiling exists; linear() must route to linear_ref instead of crashing
-    # the engine step (hit when serving toy GGUF checkpoints).
+    # N=64 (< 128 lanes): no Mosaic tiling exists; linear() must route to
+    # linear_ref instead of crashing the engine step (hit when serving toy
+    # GGUF checkpoints).
     from vllm_metal_tpu.ops.quant_matmul import _pallas_supported, linear
     ql = make_q4(64, 256)
     assert not _pallas_supported(ql)
@@ -110,16 +146,16 @@ def _stack(qls):
 
 
 @pytest.mark.parametrize("layer", [0, 2])
-def test_q4_stacked_pallas_matches_per_layer(layer):
+@pytest.mark.parametrize("entry", [_group_matmul, _dequant_matmul])
+def test_q4_stacked_pallas_matches_per_layer(layer, entry):
     n, k, m = 256, 512, 16
     qls = [make_q4(n, k, seed=s) for s in range(3)]
     stacked = _stack(qls)
     x = jnp.asarray(np.random.default_rng(3).standard_normal((m, k)),
                     dtype=jnp.float32).astype(jnp.bfloat16)
-    want = _quant_matmul_pallas(x, qls[layer], out_dtype=jnp.float32,
-                                interpret=True)
-    got = _quant_matmul_pallas(x, stacked.at_layer(layer),
-                               out_dtype=jnp.float32, interpret=True)
+    want = entry(x, qls[layer], out_dtype=jnp.float32, interpret=True)
+    got = entry(x, stacked.at_layer(layer), out_dtype=jnp.float32,
+                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
 
@@ -131,10 +167,10 @@ def test_q8_stacked_pallas_matches_per_layer():
     x = jnp.asarray(np.random.default_rng(4).standard_normal((m, k)),
                     dtype=jnp.float32).astype(jnp.bfloat16)
     for layer in range(2):
-        want = _quant_matmul_pallas(x, qls[layer], out_dtype=jnp.float32,
-                                    interpret=True)
-        got = _quant_matmul_pallas(x, stacked.at_layer(layer),
-                                   out_dtype=jnp.float32, interpret=True)
+        want = _group_matmul(x, qls[layer], out_dtype=jnp.float32,
+                             interpret=True)
+        got = _group_matmul(x, stacked.at_layer(layer),
+                            out_dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)
 

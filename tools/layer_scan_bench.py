@@ -28,7 +28,7 @@ def make_q4(n, k, seed):
     """Random packed q4 built ON DEVICE (same memory traffic as real Q4_K)."""
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
-    packed = jax.random.bits(k1, (n, k // 2), jnp.uint8)
+    packed = jax.random.bits(k1, (k // 2, n), jnp.uint8)
     scales = (jax.random.uniform(k2, (k // 32, n), jnp.float32) * 0.01
               ).astype(jnp.bfloat16)
     biases = (jax.random.uniform(k3, (k // 32, n), jnp.float32) * -0.08

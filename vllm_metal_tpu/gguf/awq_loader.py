@@ -79,10 +79,10 @@ def awq_to_quant_linear(qweight: np.ndarray, qzeros: np.ndarray,
     z = unpack_awq_words(qzeros)                      # [K/G, N]
     s = np.asarray(scales, np.float32)                # [K/G, N]
 
-    qt = np.ascontiguousarray(q.T)                    # [N, K]
-    # half-split nibble packing (byte j = elem j | elem j+K/2 << 4)
+    # half-split nibble packing into the transposed "kn" layout
+    # (byte row r = elem r | elem r+K/2 << 4)
     half = k // 2
-    packed = (qt[:, :half] | (qt[:, half:] << 4)).astype(np.uint8)
+    packed = (q[:half, :] | (q[half:, :] << 4)).astype(np.uint8)
     # replicate 128-wide groups to the kernel's group-32 granularity
     rep = AWQ_GROUP // 32
     s32 = np.repeat(s, rep, axis=0)                   # [K/32, N]

@@ -98,8 +98,13 @@ def config_from_gguf(f: GGUFFile) -> ModelConfig:
 
 
 def load_tensor(f: GGUFFile, name: str, as_linear: bool = True,
-                dtype=jnp.bfloat16):
-    """Load one tensor: QuantLinear for 2-D weights, dense array otherwise."""
+                dtype=jnp.bfloat16, layout: str = "kn"):
+    """Load one tensor: QuantLinear for 2-D weights, dense array otherwise.
+
+    ``layout="kn"`` (default) stores packed weights transposed for the
+    matmul kernels; embedding tables pass ``layout="nk"`` to keep the
+    row-gatherable orientation.
+    """
     info = f.tensors[name]
     raw = f.tensor_data(name)
     t = info.ggml_type
@@ -111,11 +116,11 @@ def load_tensor(f: GGUFFile, name: str, as_linear: bool = True,
         from .native import pack_affine_q4_native
         p = pack_affine_q4_native(raw, t, (n, k)) \
             or pack_affine_q4(raw, t, (n, k))
-        return QuantLinear.from_packed(p)
+        return QuantLinear.from_packed(p, layout=layout)
     if t in _Q8_TYPES and k % 256 == 0:
         from .native import pack_q8_native
         p = pack_q8_native(raw, t, (n, k)) or pack_q8(raw, t, (n, k))
-        return QuantLinear.from_packed(p)
+        return QuantLinear.from_packed(p, layout=layout)
     if t not in _FP_TYPES:
         logger.info("densifying %s (%s, k=%d)", name, t.name, k)
     return QuantLinear.dense(jnp.asarray(
@@ -139,7 +144,7 @@ def load_moe_experts(f: GGUFFile, name: str, n_exp: int,
             or pack_affine_q4(raw, t, (e * n, k))
         full = QuantLinear.from_packed(p)
         return [QuantLinear(
-            kind="q4", w=full.w[i * n:(i + 1) * n],
+            kind="q4", w=full.w[:, i * n:(i + 1) * n],
             scales=full.scales[:, i * n:(i + 1) * n],
             biases=full.biases[:, i * n:(i + 1) * n],
             group_size=full.group_size) for i in range(e)]
@@ -148,7 +153,7 @@ def load_moe_experts(f: GGUFFile, name: str, n_exp: int,
         p = pack_q8_native(raw, t, (e * n, k)) or pack_q8(raw, t, (e * n, k))
         full = QuantLinear.from_packed(p)
         return [QuantLinear(
-            kind="q8", w=full.w[i * n:(i + 1) * n],
+            kind="q8", w=full.w[:, i * n:(i + 1) * n],
             scales=full.scales[:, i * n:(i + 1) * n],
             biases=None if full.biases is None
             else full.biases[:, i * n:(i + 1) * n],
@@ -220,11 +225,21 @@ def load_llama_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
             )
         layers.append(layer_cls(**kw))
 
+    embedding = load_tensor(f, "token_embd.weight", as_linear=True,
+                            dtype=dtype, layout="nk")
+    if "output.weight" in f:
+        lm_head = lin("output.weight")
+    elif embedding.kind != "dense":
+        # tied quantized head: keep a transposed copy so the matmul
+        # kernels engage (the "nk" table would fall back to linear_ref)
+        lm_head = embedding.to_kn()
+    else:
+        lm_head = None
     return LlamaWeights(
-        embedding=lin("token_embd.weight"),
+        embedding=embedding,
         layers=layers,
         final_norm=vec("output_norm.weight"),
-        lm_head=lin("output.weight") if "output.weight" in f else None,
+        lm_head=lm_head,
     )
 
 

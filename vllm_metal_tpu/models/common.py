@@ -90,6 +90,8 @@ def embed_lookup(table: QuantLinear, ids: jax.Array,
     """Row gather from a (possibly quantized) embedding table [V, H]."""
     if table.kind == "dense":
         return table.w[ids].astype(dtype)
+    assert table.layout == "nk", \
+        "quantized embedding tables must keep the row-gather 'nk' layout"
     if table.kind == "q4":
         packed = table.w[ids]                        # [T, H//2]
         q = _unpack_q4(packed).astype(jnp.float32)

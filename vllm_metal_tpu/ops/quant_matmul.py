@@ -3,24 +3,61 @@
 
 The reference engine gets its fused quantized matmul for free from MLX
 (``/root/reference/vllm_metal/gguf/mlx_native.py`` — ``mx.quantized_matmul``
-over uint32-packed affine group-32 weights).  On TPU we own this path: a
-Pallas kernel streams the packed weights HBM->VMEM, dequantizes on the VPU,
-and feeds bf16 tiles to the MXU — the dense weight never materializes in HBM.
+over uint32-packed affine group-32 weights).  On TPU we own this path.
+
+Weight storage is TRANSPOSED ("kn" layout): packed weights live as
+``[K(/2), N]`` so that
+
+* group scales/biases ``[K//G, N]`` expand along *sublanes* (cheap),
+* tensor-parallel sharding is uniform across w/scales/biases
+  (column-parallel shards the last dim of all three),
+* the decode kernel can slice per-group K-rows as sublane slices.
+
+Two Pallas kernels, selected by token count ``m``:
+
+**Group-dot kernel (decode / small m).**  The affine dequant
+``w = s*q + b`` never materializes.  Using
+``x @ w = sum_g s[g,:] * (x_g @ q_g) + sum_g b[g,:] * xgsum[:,g]``
+the raw 4-bit codes feed the MXU directly (one K=32 dot per scale group,
+rescaled on the [m, tn] *output*, which is tiny at decode batch sizes),
+and the bias term folds into two small dots against precomputed per-group
+sums of x.  Nibbles unpack with packed-i32 masks (3 VPU ops per 4 bytes).
+Since an MXU pass covers up to 128 rows, cost is independent of m <= 128:
+measured 398 GB/s effective weight bandwidth exact / 630 GB/s with W4A8
+activation quantization on v5e (vs 819 GB/s HBM roofline and ~100 GB/s for
+a dequantize-in-VPU kernel, which is elementwise-convert bound).
+
+**Dequant kernel (prefill / large m).**  At large m the K=32 group dots
+waste MXU depth 4x on real work, so weights dequantize to bf16 tiles in
+VMEM (scale expansion via one-hot MXU matmul on sublane-major scales) and
+a full-depth dot runs per tile.  Per-element VPU cost amortizes over m.
+
+``VLLM_METAL_TPU_W4A8=1`` additionally quantizes activations to int8
+per-token for the group-dot kernel (s8 x s8 MXU at double rate; the bias
+term still uses exact x, so only the centered term is approximated).
 
 Runtime weight formats (produced by :mod:`..gguf.quants`):
 
-* ``q4``: ``uint8 [N, K//2]`` (elem ``2k`` low nibble, ``2k+1`` high nibble)
-  + ``scales``/``biases`` ``[N, K//32]``; ``w = q * scale + bias``.
-* ``q8``: ``int8 [N, K]`` + ``scales [N, K//G]`` (+ optional ``biases``),
-  ``G`` 16 or 32.
+* ``q4``: ``uint8 [K//2, N]`` half-split (byte row ``r`` holds elem ``r``
+  in the low nibble and elem ``K/2 + r`` in the high nibble)
+  + ``scales``/``biases`` ``[K//32, N]``; ``w = q * scale + bias``.
+* ``q8``: ``int8 [K, N]`` + ``scales [K//G, N]`` (+ optional ``biases``).
 * ``dense``: plain bf16/f32 ``[N, K]``.
 
-Weight layout is ``[out_features, in_features]``; ``linear(x, w)`` computes
-``x @ w.T`` like the reference's projection layers.
+Embedding tables keep the legacy ``layout="nk"`` (``[V, H//2]``) — they are
+row-gathered, not matmul'd; ``linear()`` on an "nk" weight falls back to
+the dequantize-and-einsum reference path (used only by tiny test models
+and tied lm_heads that loaders didn't transpose).
+
+Stacked form: leaves may carry a leading layer dim (``w [L, K//2, N]``)
+with ``idx`` selecting the layer; kernels index it via a prefetched scalar
+so only the needed tiles ever leave HBM (no per-layer materialization
+under ``lax.scan``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -33,28 +70,21 @@ from .. import envs
 from ..utils import static_dataclass
 
 
-@static_dataclass(meta_fields=("kind", "group_size"))
+@static_dataclass(meta_fields=("kind", "group_size", "layout"))
 class QuantLinear:
     """A (possibly quantized) linear weight as a pytree.
 
-    ``scales``/``biases`` are stored TRANSPOSED ``[K//G, N]`` so the Pallas
-    kernel can block them with a 128-lane-aligned last dimension (Mosaic
-    requires block last dims divisible by 128 or full).
-
-    **Stacked form**: leaves may carry a leading layer dimension
-    (``w [L, N, K//2]``, scales ``[L, K//G, N]``) with ``idx`` selecting the
-    layer.  The Pallas kernels then index the layer via a prefetched scalar
-    in the BlockSpec index_map — only the needed tiles ever leave HBM.  This
-    avoids lax.scan's per-layer dynamic-slice materialization (~weight-size
-    extra HBM copy traffic per step), the stacked-weight analogue of how the
-    attention kernel indexes its stacked ``[L, ...]`` KV pool.
+    layout "kn": w ``[K(/2), N]`` (matmul weights — kernel path).
+    layout "nk": w ``[N, K(/2)]`` (embedding tables / legacy; gather or
+    reference path only).  scales/biases are ``[K//G, N]`` in both.
     """
 
     kind: str                      # "dense" | "q4" | "q8"
-    w: jax.Array                   # dense [N,K] | packed u8 [N,K//2] | i8 [N,K]
+    w: jax.Array
     scales: Optional[jax.Array]    # [K//G, N] or None
     biases: Optional[jax.Array]    # [K//G, N] or None
     group_size: int = 32
+    layout: str = "kn"
     idx: Optional[jax.Array] = None  # layer index into stacked [L,...] leaves
 
     @property
@@ -63,39 +93,57 @@ class QuantLinear:
 
     @property
     def out_features(self) -> int:
-        return self.w.shape[-2]
+        if self.kind == "dense" or self.layout == "nk":
+            return self.w.shape[-2]
+        return self.w.shape[-1]
 
     @property
     def in_features(self) -> int:
-        return self.w.shape[-1] * (2 if self.kind == "q4" else 1)
+        mult = 2 if self.kind == "q4" else 1
+        if self.kind == "dense":
+            return self.w.shape[-1]
+        if self.layout == "nk":
+            return self.w.shape[-1] * mult
+        return self.w.shape[-2] * mult
 
     def at_layer(self, i) -> "QuantLinear":
         """Select layer ``i`` of a stacked weight (lazy: kernels index it)."""
-        import dataclasses
         return dataclasses.replace(self, idx=jnp.asarray(i, jnp.int32))
+
+    def to_kn(self) -> "QuantLinear":
+        """Transpose an "nk" weight into the kernel "kn" layout."""
+        if self.kind == "dense" or self.layout == "kn":
+            return self
+        axes = (0, 2, 1) if self.stacked else (1, 0)
+        return dataclasses.replace(
+            self, w=jnp.transpose(self.w, axes), layout="kn")
 
     @classmethod
     def dense(cls, w: jax.Array) -> "QuantLinear":
         return cls(kind="dense", w=w, scales=None, biases=None)
 
     @classmethod
-    def from_packed(cls, p, dtype=jnp.bfloat16) -> "QuantLinear":
-        """Build from gguf.quants PackedQ4/PackedQ8 (numpy, [N, K//G]
-        scale layout) — transposes scale arrays into kernel layout."""
+    def from_packed(cls, p, dtype=jnp.bfloat16,
+                    layout: str = "kn") -> "QuantLinear":
+        """Build from gguf.quants PackedQ4/PackedQ8 (numpy, [N, K//2] packed
+        + [N, K//G] scales) — transposes into the kernel layout."""
         import numpy as np
+
+        def t(a):
+            return jnp.asarray(np.ascontiguousarray(a.T))
+
+        def ts(a):
+            return jnp.asarray(np.ascontiguousarray(a.T).astype(dtype))
+
         if hasattr(p, "packed"):          # PackedQ4
-            return cls(kind="q4", w=jnp.asarray(p.packed),
-                       scales=jnp.asarray(
-                           np.ascontiguousarray(p.scales.T).astype(dtype)),
-                       biases=jnp.asarray(
-                           np.ascontiguousarray(p.biases.T).astype(dtype)),
-                       group_size=p.group_size)
-        return cls(kind="q8", w=jnp.asarray(p.q),
-                   scales=jnp.asarray(
-                       np.ascontiguousarray(p.scales.T).astype(dtype)),
-                   biases=None if p.biases is None else jnp.asarray(
-                       np.ascontiguousarray(p.biases.T).astype(dtype)),
-                   group_size=p.group_size)
+            w = t(p.packed) if layout == "kn" else jnp.asarray(p.packed)
+            return cls(kind="q4", w=w, scales=ts(p.scales),
+                       biases=ts(p.biases), group_size=p.group_size,
+                       layout=layout)
+        w = t(p.q) if layout == "kn" else jnp.asarray(p.q)
+        return cls(kind="q8", w=w, scales=ts(p.scales),
+                   biases=None if p.biases is None else ts(p.biases),
+                   group_size=p.group_size, layout=layout)
 
 
 def _unpack_q4(packed: jax.Array) -> jax.Array:
@@ -112,7 +160,6 @@ def _expand_groups(s: jax.Array, group_size: int) -> jax.Array:
 
 def _select_layer(ql: QuantLinear) -> QuantLinear:
     """Materialize layer ``idx`` of a stacked QuantLinear (reference path)."""
-    import dataclasses
 
     def take(a):
         if a is None:
@@ -125,96 +172,120 @@ def _select_layer(ql: QuantLinear) -> QuantLinear:
 
 
 def dequantize_ref(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
-    """Reference dense materialization (CPU tests / fallback)."""
+    """Reference dense materialization [N, K] (CPU tests / fallback)."""
     if ql.w.ndim == 3:
         ql = _select_layer(ql)
     if ql.kind == "dense":
         return ql.w.astype(dtype)
+    w = ql.w if ql.layout == "nk" else ql.w.T   # -> [N, K(/2)]
     if ql.kind == "q4":
-        q = _unpack_q4(ql.w).astype(jnp.float32)
+        q = _unpack_q4(w).astype(jnp.float32)
     elif ql.kind == "q8":
-        q = ql.w.astype(jnp.float32)
+        q = w.astype(jnp.float32)
     else:
         raise ValueError(ql.kind)
-    w = q * _expand_groups(ql.scales.astype(jnp.float32), ql.group_size)
+    out = q * _expand_groups(ql.scales.astype(jnp.float32), ql.group_size)
     if ql.biases is not None:
-        w = w + _expand_groups(ql.biases.astype(jnp.float32), ql.group_size)
-    return w.astype(dtype)
+        out = out + _expand_groups(ql.biases.astype(jnp.float32),
+                                   ql.group_size)
+    return out.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused kernels
+# Pallas fused kernels ("kn" layout)
 # ---------------------------------------------------------------------------
 
-def _pick_tile(dim: int, candidates: tuple[int, ...]) -> int:
-    for c in candidates:
-        if dim % c == 0:
-            return c
-    raise ValueError(f"dimension {dim} has no tile among {candidates}")
+# group-dot kernel: widest tile that keeps w-tile DMA + f32 acc in VMEM
+_GROUP_TN_TARGET = 7168
+_GROUP_TB = 256              # packed byte rows per k step
+_GROUP_M_MAX = 512           # above this, the dequant kernel wins
+_DEQ_TM, _DEQ_TN, _DEQ_TB = 256, 512, 256
 
 
-def _expand_groups_mxu(s_t: jax.Array, group_size: int,
-                       width: int) -> jax.Array:
-    """[G, tn] transposed group scales -> [tn, width] expanded.
+def _nibbles(pw):
+    """packed u8 [tb, tn] -> (lo, hi) u8 [tb, tn] via packed-i32 masks."""
+    w32 = pltpu.bitcast(pw, jnp.int32)
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.uint8)
+    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.uint8)
+    return lo, hi
 
-    Uses a one-hot matmul (exact: one nonzero per output column) because
-    Mosaic supports neither jnp.repeat's broadcast-reshape nor lane
-    gathers for sub-32-bit-aligned strides.
+
+def _group_kernel(idx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref, w_ref,
+                  slo_ref, shi_ref, blo_ref, bhi_ref, o_ref, acc_ref, *,
+                  n_k: int, gs: int, quantized: bool, kind: str,
+                  has_bias: bool):
+    """Decode-path kernel; grid (mi, j, k).  Tiles (leading 1 = layer):
+      xlo/xhi  [tb, tm]    x^T rows [k*tb, ...) / [K/2 + k*tb, ...)
+      glo/ghi  [tb//gs, tm] per-group sums of exact x rows (bias term)
+      w        [1, tb, tn] packed q4 bytes (or s8 q8 rows; xhi/ghi unused)
+      slo/shi  [1, tb//gs, tn] group scales;  blo/bhi group biases
+    acc += sum_g s[g] * (x_g^T @ q_g)  (+ xgsum @ b).
     """
-    st = s_t.astype(jnp.float32)
-    g = st.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (g, width), 1) // group_size
-    row = jax.lax.broadcasted_iota(jnp.int32, (g, width), 0)
-    e = (col == row).astype(jnp.float32)
-    return jax.lax.dot_general(st, e, (((0,), (0,)), ((), ())),
+    del idx_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if kind == "q4":
+        lo, hi = _nibbles(w_ref[0])
+        halves = ((lo, xlo_ref, slo_ref, blo_ref, glo_ref),
+                  (hi, xhi_ref, shi_ref, bhi_ref, ghi_ref))
+    else:
+        halves = ((w_ref[0], xlo_ref, slo_ref, blo_ref, glo_ref),)
+
+    acc = acc_ref[:]
+    for q, xr, sr, br, gr in halves:
+        if quantized:
+            q = pltpu.bitcast(q, jnp.int8) if q.dtype == jnp.uint8 else q
+            pet = jnp.int32
+        else:
+            # Mosaic has no direct {u8,s8}->bf16 cast; route via i32/f32
+            q = q.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+            pet = jnp.float32
+        x = xr[:]
+        tb = x.shape[0]
+        for gi in range(tb // gs):
+            a, b = gi * gs, (gi + 1) * gs
+            d = jax.lax.dot_general(
+                x[a:b, :], q[a:b, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=pet)                    # [tm, tn]
+            s = sr[0, gi:gi + 1, :].astype(jnp.float32)
+            acc = acc + d.astype(jnp.float32) * s
+        if has_bias:
+            acc = acc + jax.lax.dot_general(
+                gr[:], br[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _expand_sub(s_ref, gs: int, tb: int):
+    """[G, tn] group values -> [tb, tn] expanded along sublanes via a
+    one-hot bf16 MXU matmul (exact for bf16-stored scales; Mosaic supports
+    neither repeat nor sublane-splitting reshapes)."""
+    st = s_ref.astype(jnp.bfloat16)
+    gg = st.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, gg), 0) // gs
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, gg), 1)
+    e = (row == col).astype(jnp.bfloat16)
+    return jax.lax.dot_general(e, st, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _q4_tile(acc_ref, x_lo, x_hi, pbytes, s_lo_t, b_lo_t, s_hi_t, b_hi_t,
-             group_size: int):
-    """Accumulate one half-split q4 tile: tb packed bytes yield the low-half
-    elems [k*tb, (k+1)*tb) and high-half elems [K/2 + k*tb, ...), matched
-    with the corresponding x and scale slices — every byte is read exactly
-    once and the unpack is nibble masks (no interleave)."""
-    p32 = pbytes.astype(jnp.int32)
-    lo = (p32 & 0x0F).astype(jnp.float32)
-    hi = (p32 >> 4).astype(jnp.float32)
-    tb = lo.shape[1]
-    s_lo = _expand_groups_mxu(s_lo_t, group_size, tb)
-    b_lo = _expand_groups_mxu(b_lo_t, group_size, tb)
-    s_hi = _expand_groups_mxu(s_hi_t, group_size, tb)
-    b_hi = _expand_groups_mxu(b_hi_t, group_size, tb)
-    w_lo = (lo * s_lo + b_lo).astype(jnp.bfloat16)
-    w_hi = (hi * s_hi + b_hi).astype(jnp.bfloat16)
-    acc_ref[:] += jax.lax.dot_general(
-        x_lo, w_lo, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc_ref[:] += jax.lax.dot_general(
-        x_hi, w_hi, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-def _q4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, b_lo_ref, s_hi_ref,
-               b_hi_ref, o_ref, acc_ref, *, n_k: int, group_size: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    _q4_tile(acc_ref, x_lo_ref[:], x_hi_ref[:], w_ref[:], s_lo_ref[:],
-             b_lo_ref[:], s_hi_ref[:], b_hi_ref[:], group_size)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
-
-
-def _q4_kernel_stacked(idx_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
-                       b_lo_ref, s_hi_ref, b_hi_ref, o_ref, acc_ref, *,
-                       n_k: int, group_size: int):
-    """Stacked-layer q4: weight refs carry a leading unit layer-block dim;
-    the layer is selected by the prefetched ``idx_ref`` in the index_maps."""
+def _dequant_kernel(idx_ref, xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
+                    blo_ref, bhi_ref, o_ref, acc_ref, *, n_k: int, gs: int,
+                    kind: str, has_bias: bool):
+    """Prefill-path kernel; grid (mi, j, k).  Tiles:
+      xlo/xhi [tm, tb]  x cols [k*tb, ...) / [K/2 + k*tb, ...)
+      w       [1, tb, tn] packed bytes ("kn"); s/b [1, tb//gs, tn]
+    Dequantizes the weight tile to bf16 in VMEM (scale expansion along
+    sublanes) and runs one full-depth dot per half.
+    """
     del idx_ref
     k = pl.program_id(2)
 
@@ -222,247 +293,220 @@ def _q4_kernel_stacked(idx_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    _q4_tile(acc_ref, x_lo_ref[:], x_hi_ref[:], w_ref[0], s_lo_ref[0],
-             b_lo_ref[0], s_hi_ref[0], b_hi_ref[0], group_size)
+    if kind == "q4":
+        lo, hi = _nibbles(w_ref[0])
+        halves = ((lo, xlo_ref, slo_ref, blo_ref),
+                  (hi, xhi_ref, shi_ref, bhi_ref))
+    else:
+        halves = ((w_ref[0], xlo_ref, slo_ref, blo_ref),)
+
+    for q, xr, sr, br in halves:
+        tb = q.shape[0]
+        qf = q.astype(jnp.int32).astype(jnp.float32)
+        s = _expand_sub(sr[0], gs, tb)
+        w = qf * s
+        if has_bias:
+            w = w + _expand_sub(br[0], gs, tb)
+        acc_ref[:] += jax.lax.dot_general(
+            xr[:], w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _q8_tile(acc_ref, x, q8, s_t, b_t, group_size: int, has_bias: bool):
-    q = q8.astype(jnp.float32)
-    tk = q.shape[1]
-    w = q * _expand_groups_mxu(s_t, group_size, tk)
-    if has_bias:
-        w = w + _expand_groups_mxu(b_t, group_size, tk)
-    acc_ref[:] += jax.lax.dot_general(
-        x, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+def _largest_tile(n: int, target: int) -> int:
+    """Widest multiple-of-128 tile <= target (n itself if smaller)."""
+    if n <= target:
+        return n
+    return min(target, max(128, (target // 128) * 128))
 
 
-def _q8_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, n_k: int,
-               group_size: int, has_bias: bool):
-    k = pl.program_id(2)
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret", "quantized"))
+def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
+                  interpret: bool = False, quantized: bool = False):
+    """Decode-path entry: x [m, K] (m mult of 8), returns [m, N]."""
+    m, kdim = x.shape
+    n = ql.out_features
+    gs = ql.group_size
+    kind = ql.kind
+    has_bias = ql.biases is not None
+    halved = kdim // 2 if kind == "q4" else kdim
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    w3 = ql.w if ql.stacked else ql.w[None]
+    s3 = ql.scales if ql.scales.ndim == 3 else ql.scales[None]
+    b3 = (ql.biases if ql.biases.ndim == 3 else ql.biases[None]) \
+        if has_bias else s3
+    idx = (jnp.asarray(ql.idx, jnp.int32).reshape(1) if ql.stacked
+           else jnp.zeros((1,), jnp.int32))
 
-    _q8_tile(acc_ref, x_ref[:], w_ref[:], s_ref[:], b_ref[:], group_size,
-             has_bias)
+    xf = x.astype(jnp.float32)
+    xgs = xf.reshape(m, kdim // gs, gs).sum(-1)        # [m, K//gs] exact
+    if quantized:
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                         1e-6) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        xt = xq.T                                       # [K, m]
+        # the kernel's output gets multiplied by sx afterwards, so feed the
+        # (exact-x) bias group-sums pre-divided — the bias term stays exact
+        xgs = xgs / sx
+    else:
+        xt = x.T.astype(jnp.bfloat16)
+    xgs_t = xgs.T                                       # [K//gs, m]
 
-    @pl.when(k == n_k - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+    tb = _GROUP_TB
+    while halved % tb:
+        tb //= 2
+    n_k = halved // tb
+    tm = m if m <= 128 else 128
+    tn = _largest_tile(n, _GROUP_TN_TARGET)
+    grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), n_k)
+    gtile = tb // gs
 
+    hi_off = n_k if kind == "q4" else 0   # q8 reuses the lo operands
 
-def _q8_kernel_stacked(idx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
-                       *, n_k: int, group_size: int, has_bias: bool):
-    del idx_ref
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    _q8_tile(acc_ref, x_ref[:], w_ref[0], s_ref[0], b_ref[0], group_size,
-             has_bias)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tm), lambda i, j, k, l: (k, i),
+                         memory_space=pltpu.VMEM),               # x^T lo
+            pl.BlockSpec((tb, tm), lambda i, j, k, l, o=hi_off: (k + o, i),
+                         memory_space=pltpu.VMEM),               # x^T hi
+            pl.BlockSpec((gtile, tm), lambda i, j, k, l: (k, i),
+                         memory_space=pltpu.VMEM),               # xgsum lo
+            pl.BlockSpec((gtile, tm), lambda i, j, k, l, o=hi_off: (k + o, i),
+                         memory_space=pltpu.VMEM),               # xgsum hi
+            pl.BlockSpec((1, tb, tn), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),               # packed w
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),               # s lo
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l, o=hi_off:
+                         (l[0], k + o, j), memory_space=pltpu.VMEM),  # s hi
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),               # b lo
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l, o=hi_off:
+                         (l[0], k + o, j), memory_space=pltpu.VMEM),  # b hi
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _group_kernel, n_k=n_k, gs=gs, quantized=quantized, kind=kind,
+        has_bias=has_bias)
+    w_bytes = w3.size // w3.shape[0] * w3.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=2 * m * n * kdim, transcendentals=0,
+        bytes_accessed=w_bytes + m * kdim * 4 + m * n * 2)
+    out_kernel_dtype = jnp.float32 if quantized else out_dtype
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_kernel_dtype),
+        cost_estimate=cost, interpret=interpret,
+    )(idx, xt, xt, xgs_t, xgs_t, w3, s3, s3, b3, b3)
+    if quantized:
+        out = (out * sx).astype(out_dtype)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
-def _quant_matmul_pallas(x: jax.Array, ql: QuantLinear,
-                         out_dtype=jnp.bfloat16,
-                         interpret: bool = False) -> jax.Array:
-    """x [M, K] @ dequant(ql).T -> [M, N].  M must be a multiple of 8.
-
-    Stacked weights (leaves ``[L, ...]`` + ``ql.idx``) run the scalar-prefetch
-    variants: the layer never materializes — each grid step DMAs its tile
-    straight from the stacked HBM array.
-    """
+def _dequant_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
+                    interpret: bool = False):
+    """Prefill-path entry: x [m, K] (m mult of 8), returns [m, N]."""
     m, kdim = x.shape
     n = ql.out_features
-    g = ql.group_size
-    assert kdim == ql.in_features, (x.shape, ql.w.shape)
-    stacked = ql.w.ndim == 3
-    if stacked:
-        assert ql.idx is not None, "stacked QuantLinear needs .at_layer(i)"
-        idx = jnp.asarray(ql.idx, jnp.int32).reshape(1)
-
-    tm = _pick_tile(m, (256, 128, 64, 32, 16, 8))
-    tn = _pick_tile(n, (256, 128, 512))
+    gs = ql.group_size
+    kind = ql.kind
     has_bias = ql.biases is not None
-    biases = ql.biases if has_bias else ql.scales  # dummy operand when absent
+    halved = kdim // 2 if kind == "q4" else kdim
 
-    flops = 2 * m * n * kdim
-    w_bytes = ql.w.size * ql.w.dtype.itemsize
-    if stacked:
-        w_bytes //= ql.w.shape[0]
+    w3 = ql.w if ql.stacked else ql.w[None]
+    s3 = ql.scales if ql.scales.ndim == 3 else ql.scales[None]
+    b3 = (ql.biases if ql.biases.ndim == 3 else ql.biases[None]) \
+        if has_bias else s3
+    idx = (jnp.asarray(ql.idx, jnp.int32).reshape(1) if ql.stacked
+           else jnp.zeros((1,), jnp.int32))
+
+    tb = _DEQ_TB
+    while halved % tb:
+        tb //= 2
+    n_k = halved // tb
+    tm = m if m <= _DEQ_TM else _DEQ_TM
+    tn = _largest_tile(n, _DEQ_TN)
+    grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), n_k)
+    gtile = tb // gs
+    hi_off = n_k if kind == "q4" else 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tb), lambda i, j, k, l: (i, k),
+                         memory_space=pltpu.VMEM),               # x lo cols
+            pl.BlockSpec((tm, tb), lambda i, j, k, l, o=hi_off: (i, k + o),
+                         memory_space=pltpu.VMEM),               # x hi cols
+            pl.BlockSpec((1, tb, tn), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),               # packed w
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),               # s lo
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l, o=hi_off:
+                         (l[0], k + o, j), memory_space=pltpu.VMEM),  # s hi
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l: (l[0], k, j),
+                         memory_space=pltpu.VMEM),               # b lo
+            pl.BlockSpec((1, gtile, tn), lambda i, j, k, l, o=hi_off:
+                         (l[0], k + o, j), memory_space=pltpu.VMEM),  # b hi
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    kernel = functools.partial(_dequant_kernel, n_k=n_k, gs=gs, kind=kind,
+                               has_bias=has_bias)
+    w_bytes = w3.size // w3.shape[0] * w3.dtype.itemsize
     cost = pl.CostEstimate(
-        flops=flops, transcendentals=0,
-        bytes_accessed=w_bytes + m * kdim * x.dtype.itemsize + m * n * 2)
-
-    if ql.kind == "q4":
-        # k step = tb bytes = tb low elems + tb high elems (half-split)
-        tb = _pick_tile(kdim // 2, (256, 128, 512, 64))
-        n_k = kdim // 2 // tb
-        grid = (m // tm, n // tn, n_k)
-        out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
-        if not stacked:
-            kernel = functools.partial(_q4_kernel, n_k=n_k, group_size=g)
-            return pl.pallas_call(
-                kernel,
-                out_shape=out_shape,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((tm, tb), lambda i, j, k: (i, k),
-                                 memory_space=pltpu.VMEM),      # x low half
-                    pl.BlockSpec((tm, tb), lambda i, j, k, _n=n_k:
-                                 (i, k + _n), memory_space=pltpu.VMEM),  # x hi
-                    pl.BlockSpec((tn, tb), lambda i, j, k: (j, k),
-                                 memory_space=pltpu.VMEM),      # bytes
-                    pl.BlockSpec((tb // g, tn), lambda i, j, k: (k, j),
-                                 memory_space=pltpu.VMEM),      # s low
-                    pl.BlockSpec((tb // g, tn), lambda i, j, k: (k, j),
-                                 memory_space=pltpu.VMEM),      # b low
-                    pl.BlockSpec((tb // g, tn), lambda i, j, k, _n=n_k:
-                                 (k + _n, j), memory_space=pltpu.VMEM),  # s hi
-                    pl.BlockSpec((tb // g, tn), lambda i, j, k, _n=n_k:
-                                 (k + _n, j), memory_space=pltpu.VMEM),  # b hi
-                ],
-                out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
-                                       memory_space=pltpu.VMEM),
-                scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-                cost_estimate=cost,
-                interpret=interpret,
-            )(x, x, ql.w, ql.scales, biases, ql.scales, biases)
-
-        kernel = functools.partial(_q4_kernel_stacked, n_k=n_k, group_size=g)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tm, tb), lambda i, j, k, l: (i, k),
-                             memory_space=pltpu.VMEM),          # x low half
-                pl.BlockSpec((tm, tb), lambda i, j, k, l, _n=n_k:
-                             (i, k + _n), memory_space=pltpu.VMEM),  # x high
-                pl.BlockSpec((1, tn, tb), lambda i, j, k, l: (l[0], j, k),
-                             memory_space=pltpu.VMEM),          # bytes
-                pl.BlockSpec((1, tb // g, tn), lambda i, j, k, l:
-                             (l[0], k, j), memory_space=pltpu.VMEM),  # s low
-                pl.BlockSpec((1, tb // g, tn), lambda i, j, k, l:
-                             (l[0], k, j), memory_space=pltpu.VMEM),  # b low
-                pl.BlockSpec((1, tb // g, tn), lambda i, j, k, l, _n=n_k:
-                             (l[0], k + _n, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tb // g, tn), lambda i, j, k, l, _n=n_k:
-                             (l[0], k + _n, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(idx, x, x, ql.w, ql.scales, biases, ql.scales, biases)
-
-    if ql.kind == "q8":
-        tk = _pick_tile(kdim, (512, 256, 128, 1024))
-        n_k = kdim // tk
-        grid = (m // tm, n // tn, n_k)
-        out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
-        if not stacked:
-            kernel = functools.partial(_q8_kernel, n_k=n_k, group_size=g,
-                                       has_bias=has_bias)
-            return pl.pallas_call(
-                kernel,
-                out_shape=out_shape,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tn, tk), lambda i, j, k: (j, k),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tk // g, tn), lambda i, j, k: (k, j),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
-                                       memory_space=pltpu.VMEM),
-                scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-                cost_estimate=cost,
-                interpret=interpret,
-            )(x, ql.w, ql.scales, biases)
-
-        kernel = functools.partial(_q8_kernel_stacked, n_k=n_k, group_size=g,
-                                   has_bias=has_bias)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tm, tk), lambda i, j, k, l: (i, k),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tn, tk), lambda i, j, k, l: (l[0], j, k),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tk // g, tn), lambda i, j, k, l:
-                             (l[0], k, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tk // g, tn), lambda i, j, k, l:
-                             (l[0], k, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(idx, x, ql.w, ql.scales, biases)
-
-    raise ValueError(ql.kind)
+        flops=2 * m * n * kdim, transcendentals=0,
+        bytes_accessed=w_bytes + m * kdim * 2 + m * n * 2)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=cost, interpret=interpret,
+    )(idx, x.astype(jnp.bfloat16), x.astype(jnp.bfloat16), w3, s3, s3,
+      b3, b3)
 
 
 def _pallas_supported(ql: QuantLinear) -> bool:
     """Whether the fused kernels can tile this layer.
 
     Tiny dimensions (unit-test vocabularies, toy models) have no valid
-    Mosaic tiling — N below 128 lanes, or too few transposed-scale rows
-    for an 8-sublane block — and must fall back to ``linear_ref`` instead
-    of crashing the engine step.
+    Mosaic tiling and fall back to ``linear_ref`` instead of crashing the
+    engine step.
     """
-    def tile(dim, cands):
-        return next((c for c in cands if dim % c == 0), None)
-
-    if tile(ql.out_features, (256, 128, 512)) is None:
+    if ql.layout != "kn":
         return False
-    g = ql.group_size
-    if ql.kind == "q4":
-        tb = tile(ql.in_features // 2, (256, 128, 512, 64))
-        return tb is not None and tb % g == 0 and (tb // g) % 8 == 0
-    if ql.kind == "q8":
-        tk = tile(ql.in_features, (512, 256, 128, 1024))
-        if tk is None or tk % g:
-            return False
-        return (tk // g) % 8 == 0 or tk == ql.in_features
-    return False
+    if ql.out_features < 128:
+        return False
+    halved = ql.in_features // (2 if ql.kind == "q4" else 1)
+    tb = _GROUP_TB
+    while tb >= ql.group_size and halved % tb:
+        tb //= 2
+    if halved % tb or tb < ql.group_size or tb % ql.group_size:
+        return False
+    # scale blocks are [tb//gs, tn]: Mosaic needs the sublane dim to be a
+    # multiple of 8 (it can't be "full" — the hi half indexes at an offset)
+    if (tb // ql.group_size) % 8:
+        return False
+    return True
 
 
 def linear_ref(x: jax.Array, ql: QuantLinear,
                out_dtype=jnp.bfloat16) -> jax.Array:
     """Pure-jnp reference: x [..., K] -> [..., N].
 
-    Matches the Pallas kernel's precision policy: dequantized weights are
-    rounded to x.dtype (bf16 in serving), products accumulate in f32.
+    Matches the Pallas kernels' precision policy: raw codes participate at
+    x.dtype precision, products accumulate in f32.
     """
     w = dequantize_ref(ql, x.dtype)
     y = jnp.einsum("...k,nk->...n", x, w,
@@ -495,8 +539,13 @@ def linear(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     pad = (-m) % 8
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    y = _quant_matmul_pallas(x2, ql, out_dtype=out_dtype,
-                             interpret=bool(envs.PALLAS_INTERPRET))
+    interpret = bool(envs.PALLAS_INTERPRET)
+    if x2.shape[0] <= _GROUP_M_MAX:
+        y = _group_matmul(x2, ql, out_dtype=out_dtype, interpret=interpret,
+                          quantized=bool(envs.W4A8))
+    else:
+        y = _dequant_matmul(x2, ql, out_dtype=out_dtype,
+                            interpret=interpret)
     if pad:
         y = y[:m]
     return y.reshape(*lead, ql.out_features)

@@ -27,30 +27,57 @@ _VOCAB = ("embedding", "lm_head")                   # shard vocab rows
 _SHARD_VEC = ("bq", "bk", "bv", "sinks")            # 1-D sharded vectors
 
 
-def _linear_spec(role: str, field: str) -> P:
-    if role in _COLUMN or role in _VOCAB:
-        return P("model", None)
-    if role in _ROW:
-        return P(None, "model")
-    return P()
+def _linear_spec(role: str, field: str, kind: str, layout: str,
+                 stacked: bool) -> P:
+    """Per-leaf spec for one QuantLinear field.
+
+    Dense weights are ``[N, K]``; quantized "kn" weights and their
+    scales/biases are ``[K(/G or /2), N]`` — the N axis flips sides, and
+    stacked weights carry a leading layer dim.
+    """
+    shard_n = role in _COLUMN or role in _VOCAB      # else shard K
+    if kind == "dense":
+        dims = (P("model", None) if shard_n else P(None, "model"))
+    elif layout == "nk":                             # embedding tables
+        dims = (P("model", None) if shard_n else P(None, "model"))
+    else:                                            # "kn": [K..., N]
+        dims = (P(None, "model") if shard_n else P("model", None))
+    if stacked:
+        return P(None, *dims)
+    return dims
 
 
 def weight_pspecs(weights: Any) -> Any:
     """Same-structure pytree of PartitionSpec for a model weight tree."""
+    from ..ops.quant_matmul import QuantLinear
 
-    def spec_for_path(path, leaf) -> P:
+    def is_ql(x) -> bool:
+        return isinstance(x, QuantLinear)
+
+    def spec_for_path(path, leaf) -> Any:
         names = [p.name for p in path if hasattr(p, "name")]
         role = None
         for n in names:
             if n in _COLUMN + _ROW + _VOCAB:
                 role = n
+        if is_ql(leaf):
+            if role is None:
+                return jax.tree.map(lambda _: P(), leaf)
+
+            def field_spec(fpath, arr):
+                fname = fpath[0].name if fpath else "w"
+                return _linear_spec(role, fname, leaf.kind, leaf.layout,
+                                    arr.ndim == 3)
+            return jax.tree_util.tree_map_with_path(field_spec, leaf)
         if role is not None:
-            return _linear_spec(role, names[-1])
+            # bare array under a linear role (shouldn't happen, but safe)
+            return P()
         if names and names[-1] in _SHARD_VEC:
             return P("model")
         return P()
 
-    return jax.tree_util.tree_map_with_path(spec_for_path, weights)
+    return jax.tree_util.tree_map_with_path(spec_for_path, weights,
+                                            is_leaf=is_ql)
 
 
 def cache_pspec() -> P:
