@@ -42,6 +42,14 @@ def main() -> None:
 
     args = ap.parse_args()
     if args.cmd == "serve":
+        from .stt import is_stt_model
+        if is_stt_model(args.model):
+            from .server.stt_server import serve_stt
+            from .stt.transcriber import load_transcriber
+            serve_stt(load_transcriber(args.model), host=args.host,
+                      port=args.port,
+                      model_name=args.served_model_name or args.model)
+            return
         from .engine.launcher import build_engine
         from .server.openai_server import serve
         engine, tok = build_engine(
