@@ -70,6 +70,13 @@ class LLMEngine:
             # recurrent state cannot be rebuilt from KV blocks
             # (reference guard: platform.py:487-495)
             self.bm.enable_prefix_caching = False
+        # multimodal: encoder cache + placeholder id (VL models)
+        self._is_mm = getattr(self.runner.model, "mrope_sections",
+                              None) is not None
+        self.encoder_cache = None
+        if self._is_mm:
+            from ..multimodal.encoder_cache import EncoderCache
+            self.encoder_cache = EncoderCache()
         # metrics
         self.num_prompt_tokens = 0
         self.num_generated_tokens = 0
@@ -100,7 +107,8 @@ class LLMEngine:
     def add_request(self, prompt_token_ids: list[int],
                     params: Optional[SamplingParams] = None,
                     request_id: Optional[str] = None,
-                    lora_name: Optional[str] = None) -> str:
+                    lora_name: Optional[str] = None,
+                    mm_features: Optional[list] = None) -> str:
         if request_id is None:
             request_id = f"req-{next(self._id_counter)}"
         if not prompt_token_ids:
@@ -117,12 +125,69 @@ class LLMEngine:
             eos_token_id=self.eos_token_id,
             lora_name=lora_name,
         )
+        if mm_features:
+            if not self._is_mm:
+                raise ValueError("model has no multimodal path")
+            self._admit_mm(req, mm_features)
         if lora_name and self.runner.lora_manager is None:
             raise ValueError("engine has no LoRA manager configured")
         self.requests[request_id] = req
         self.scheduler.add_request(req)
         self.num_prompt_tokens += len(prompt_token_ids)
         return request_id
+
+    def _admit_mm(self, req: Request, features: list) -> None:
+        """Encode, position, and attach multimodal features to a request.
+
+        Covers the reference runner's mm admission: encoder dispatch with
+        hash caching (``/root/reference/vllm_metal/v1/model_runner.py:2299``
+        + ``v1/mm/encoder_cache.py``) and M-RoPE position computation.
+        Feature offsets < 0 are derived by scanning the prompt for the
+        model's image-placeholder runs.
+        """
+        import numpy as np
+        from ..multimodal.encoder_cache import feature_hash
+        from ..multimodal.mrope import mrope_positions
+
+        model = self.runner.model
+        merge = getattr(model, "vision_cfg", None)
+        merge = merge.spatial_merge_size if merge is not None else 2
+        image_token = getattr(model, "image_token_id", -1)
+        ids = req.prompt_token_ids
+        cursor = 0
+        for f in sorted(features, key=lambda f: f.offset):
+            n = f.num_tokens(merge)
+            if f.offset < 0:
+                # find the next placeholder run of length n
+                while cursor < len(ids):
+                    if ids[cursor] == image_token and \
+                            ids[cursor:cursor + n] == [image_token] * n:
+                        f.offset = cursor
+                        cursor += n
+                        break
+                    cursor += 1
+                if f.offset < 0:
+                    raise ValueError(
+                        f"no placeholder run of {n} image tokens found")
+            if f.offset + n > len(ids):
+                raise ValueError("image placeholders exceed prompt length")
+            if f.embeds is None:
+                if f.pixel_patches is None:
+                    raise ValueError(
+                        "feature needs pixel_patches or embeds")
+                key = f.identifier or feature_hash(f.pixel_patches,
+                                                   f.grid_thw)
+                f.embeds = self.encoder_cache.get_or_encode(
+                    key, lambda f=f: np.asarray(
+                        model.encode_image(f.pixel_patches, f.grid_thw),
+                        np.float32))
+            if np.asarray(f.embeds).shape[0] != n:
+                raise ValueError(
+                    f"feature embeds rows {np.asarray(f.embeds).shape[0]} "
+                    f"!= grid tokens {n}")
+        req.mm_features = sorted(features, key=lambda f: f.offset)
+        req.mrope_positions, req.mrope_delta = mrope_positions(
+            len(ids), req.mm_features, merge)
 
     def abort_request(self, request_id: str) -> bool:
         ok = self.scheduler.abort_request(request_id)
@@ -207,6 +272,10 @@ class LLMEngine:
             state_slot, fresh = (-1, False)
             if self._is_hybrid:
                 state_slot, fresh = self._state_slot_for(req)
+            mm_embeds = mm_rows = mrope_pos = None
+            if self._is_mm:
+                mm_embeds, mm_rows, mrope_pos = self._mm_chunk(
+                    req, start, len(chunk))
             inputs.append(SeqStepInput(
                 query_tokens=chunk,
                 context_len=start + len(chunk),
@@ -220,6 +289,9 @@ class LLMEngine:
                 lora_slot=lora_slot,
                 state_slot=state_slot,
                 reset_state=fresh,
+                mm_embeds=mm_embeds,
+                mm_rows=mm_rows,
+                mrope_positions=mrope_pos,
             ))
 
         out = self.runner.execute(inputs)
@@ -283,6 +355,36 @@ class LLMEngine:
             ))
         return results
 
+    def _mm_chunk(self, req, start: int, qlen: int):
+        """Chunk-local mm splice rows/embeds + 3-axis positions.
+
+        Prefix-cache hits and chunked prefill just slice the feature's
+        embedding rows by the chunk window (the reference's
+        ``start_pos``/``num_computed_tokens`` honoring, SURVEY.md §3.2).
+        """
+        import numpy as np
+        rows: list[int] = []
+        embeds = []
+        end = start + qlen
+        for f in req.mm_features:
+            n = np.asarray(f.embeds).shape[0]
+            s0 = max(start, f.offset)
+            e0 = min(end, f.offset + n)
+            if s0 < e0:
+                embeds.append(np.asarray(f.embeds)[s0 - f.offset:
+                                                   e0 - f.offset])
+                rows.extend(range(s0 - start, e0 - start))
+        pos = np.empty((3, qlen), np.int32)
+        p_len = req.num_prompt_tokens
+        for j in range(qlen):
+            idx = start + j
+            if req.mrope_positions is not None and idx < p_len:
+                pos[:, j] = req.mrope_positions[:, idx]
+            else:
+                pos[:, j] = idx + req.mrope_delta
+        emb = np.concatenate(embeds, axis=0) if embeds else None
+        return emb, rows or None, pos
+
     def _window_size(self, sched) -> int:
         """Multi-step decode eligibility: a full batch of greedy decodes
         with no drafts/grammar/LoRA and nothing waiting to be admitted."""
@@ -297,7 +399,8 @@ class LLMEngine:
             if (s.num_new_tokens != 1 or s.num_draft_tokens
                     or not req.params.greedy
                     or req.params.grammar is not None
-                    or req.num_computed_tokens != req.num_tokens - 1):
+                    or req.num_computed_tokens != req.num_tokens - 1
+                    or req.mrope_delta != 0):
                 return 1
             w = min(w, req.params.max_tokens - len(req.output_token_ids))
             w = min(w, self.cfg.model.max_model_len - req.num_tokens)

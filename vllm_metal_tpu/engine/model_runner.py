@@ -47,6 +47,12 @@ class SeqStepInput:
     lora_slot: int = 0               # 0 = no adapter
     state_slot: int = -1             # GDN state slot (-1 = use seq index)
     reset_state: bool = False        # zero the slot before this step
+    # multimodal: vision embeds [n, H] (np) for this chunk's placeholder
+    # rows, their row indices within the chunk, and 3-axis M-RoPE
+    # positions [3, len(query_tokens)] (None = linear positions)
+    mm_embeds: Any = None
+    mm_rows: Optional[list[int]] = None
+    mrope_positions: Any = None
 
 
 @dataclass
@@ -133,6 +139,8 @@ class ModelRunner:
             1, cfg.model.max_model_len // cfg.cache.block_size)
         self.spec_window = cfg.spec.num_speculative_tokens \
             if cfg.spec.method else 0
+        # VL models take the mm step variant (M-RoPE positions + splice)
+        self._is_mm = getattr(model, "mrope_sections", None) is not None
         self.step_counter = 0
         self._compiled: dict[tuple[int, int], Any] = {}
 
@@ -156,10 +164,19 @@ class ModelRunner:
 
         spec_w = self.spec_window
         use_lora = self.lora_manager is not None
+        is_mm = self._is_mm
 
         def step(weights, cache: PagedKVCache, token_ids: jax.Array,
                  md: AttentionMetadata, st: SamplingTensors,
-                 step_idx: jax.Array, lora_packs=None, token_slots=None):
+                 step_idx: jax.Array, *extras):
+            i = 0
+            lora_packs = token_slots = None
+            mm_embeds = mm_rows = pos3 = None
+            if use_lora:
+                lora_packs, token_slots = extras[0], extras[1]
+                i = 2
+            if is_mm:
+                mm_embeds, mm_rows, pos3 = extras[i:i + 3]
             sinks = None
             layers = getattr(weights, "layers", None)
             if isinstance(layers, (list, tuple)) and layers \
@@ -176,7 +193,9 @@ class ModelRunner:
                     return lambda name, x: lora_delta(
                         x, lora_packs.get(name), i, token_slots)
             hidden = self.model.forward_hidden(
-                weights, token_ids, md.positions, attn_fn, lora_fn=lora_fn)
+                weights, token_ids,
+                pos3 if pos3 is not None else md.positions, attn_fn,
+                lora_fn=lora_fn, mm_embeds=mm_embeds, mm_rows=mm_rows)
             last = md.query_start_loc[1:] - 1          # [S]
             if spec_w:
                 # last (spec_w + 1) rows per seq for draft verification
@@ -212,10 +231,12 @@ class ModelRunner:
 
         w_specs = weight_pspecs(self.weights)
         c_specs = jax.tree.map(lambda _: cache_pspec(), self.cache)
+        n_extra = (2 if use_lora else 0) + (3 if is_mm else 0)
         # P() prefixes broadcast over the md / sampling pytrees (replicated)
         sharded = shard_map(
             step, mesh=self.mesh,
-            in_specs=(w_specs, c_specs, P(), P(), P(), P()),
+            in_specs=(w_specs, c_specs, P(), P(), P(), P())
+            + (P(),) * n_extra,
             out_specs=(P(), P(), P(), P(), P(), P(), c_specs),
             check_vma=False)
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
@@ -311,6 +332,46 @@ class ModelRunner:
         return np.asarray(outs)[:, :len(seqs)]
 
     # ------------------------------------------------------------------
+    def _mm_extras(self, seqs: list[SeqStepInput], t_pad: int):
+        """(mm_embeds [M_pad, H], mm_rows [M_pad], pos3 [3, t_pad]).
+
+        Placeholder rows across the packed batch, bucketed to powers of
+        two; rows == -1 scatter-drop.  pos3 defaults to the linear
+        positions (all three M-RoPE axes equal == plain RoPE) and is
+        overridden per chunk where a request supplies 3-axis positions.
+        """
+        h = self.cfg.model.hidden_size
+        rows: list[int] = []
+        chunks: list[np.ndarray] = []
+        pos3 = np.zeros((3, t_pad), np.int32)
+        t0 = 0
+        for s in seqs:
+            ql = len(s.query_tokens)
+            if s.mm_rows:
+                emb = np.asarray(s.mm_embeds, np.float32)
+                assert emb.shape[0] == len(s.mm_rows)
+                chunks.append(emb)
+                rows.extend(t0 + r for r in s.mm_rows)
+            if s.mrope_positions is not None:
+                pos3[:, t0:t0 + ql] = s.mrope_positions
+            else:
+                start = s.context_len - ql
+                pos3[:, t0:t0 + ql] = np.arange(start, s.context_len,
+                                                dtype=np.int32)[None]
+            t0 += ql
+        n = len(rows)
+        m_pad = 8
+        while m_pad < n:
+            m_pad *= 2
+        flat = np.zeros((m_pad, h), np.float32)
+        row_arr = np.full((m_pad,), -1, np.int32)
+        if n:
+            flat[:n] = np.concatenate(chunks, axis=0)
+            row_arr[:n] = rows
+        return (jnp.asarray(flat), jnp.asarray(row_arr),
+                jnp.asarray(pos3))
+
+    # ------------------------------------------------------------------
     def execute(self, seqs: list[SeqStepInput],
                 sync: bool = True) -> StepOutput:
         """Run one engine step for the given packed batch.
@@ -374,6 +435,8 @@ class ModelRunner:
                 slots[t0:t0 + len(s.query_tokens)] = s.lora_slot
                 t0 += len(s.query_tokens)
             extra = (self.lora_manager.packs, jnp.asarray(slots))
+        if self._is_mm:
+            extra = extra + self._mm_extras(seqs, t_pad)
         tokens, logprobs, logits, verify, pooled, hrows, self.cache = \
             self._step(
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,

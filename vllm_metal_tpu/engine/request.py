@@ -46,6 +46,11 @@ class Request:
     first_token_time: Optional[float] = None
     # target's final hidden state at the last sampled row (MTP drafting)
     last_hidden: Optional[object] = None
+    # multimodal: attached images (MMFeature list, embeds filled at
+    # admission), 3-axis M-RoPE prompt positions [3, P] + decode delta
+    mm_features: list = field(default_factory=list)
+    mrope_positions: Optional[object] = None
+    mrope_delta: int = 0
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -73,6 +73,32 @@ def apply_rope(x: jax.Array, positions: jax.Array,
     return out.astype(dt)
 
 
+def apply_mrope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
+                sections: tuple[int, ...]) -> jax.Array:
+    """Multimodal (3-axis) rotate-half RoPE.
+
+    x: [T, heads, head_dim]; positions: [3, T] (t/h/w axes);
+    ``sections`` partitions the ``head_dim//2`` frequencies into
+    t/h/w groups (HF ``mrope_section`` semantics: frequency j uses the
+    axis whose section contains j).  With all three position rows equal
+    this reduces exactly to :func:`apply_rope`.
+    """
+    dt = x.dtype
+    assert sum(sections) == inv_freq.shape[0], (sections, inv_freq.shape)
+    sec_id = jnp.repeat(jnp.arange(len(sections)), jnp.asarray(sections),
+                        total_repeat_length=inv_freq.shape[0])
+    # [T, hd/2]: per-frequency positions chosen by section axis
+    pos = positions.astype(jnp.float32)[sec_id, :].T
+    angles = pos * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]
+    sin = jnp.sin(angles)[:, None, :]
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(dt)
+
+
 def activation(name: str):
     if name == "silu":
         return jax.nn.silu

@@ -101,8 +101,10 @@ class GemmaModel(LlamaModel):
         return x + m
 
     def forward_hidden(self, weights, token_ids, positions, attn_fn,
-                       lora_fn=None):
+                       lora_fn=None, mm_embeds=None, mm_rows=None):
         x = self.embed(weights, token_ids)
+        if mm_embeds is not None:
+            x = self.splice_mm(x, mm_embeds, mm_rows)
         for i, lw in enumerate(weights.layers):
             lora = lora_fn(i) if lora_fn is not None else None
             q, k, v = self.layer_qkv(lw, x, positions, lora=lora)

@@ -67,6 +67,9 @@ class LlamaModel:
         self.inv_freq = rope_frequencies(
             cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
         self.act = activation(cfg.hidden_act)
+        # multimodal 3-axis rope (Qwen-VL family); None = plain rope
+        sec = cfg.extra.get("mrope_section")
+        self.mrope_sections = tuple(sec) if sec else None
 
     # -- weight init (tests) ------------------------------------------------
     def init_random(self, key: jax.Array, dtype=jnp.bfloat16) -> LlamaWeights:
@@ -136,8 +139,15 @@ class LlamaModel:
         if lw.q_norm is not None:
             q = rms_norm(q, lw.q_norm, cfg.rms_norm_eps)
             k = rms_norm(k, lw.k_norm, cfg.rms_norm_eps)
-        q = apply_rope(q, positions, self.inv_freq)
-        k = apply_rope(k, positions, self.inv_freq)
+        if positions.ndim == 2:     # [3, T] multimodal axes
+            from .common import apply_mrope
+            assert self.mrope_sections is not None, \
+                "2-D positions need cfg.extra['mrope_section']"
+            q = apply_mrope(q, positions, self.inv_freq, self.mrope_sections)
+            k = apply_mrope(k, positions, self.inv_freq, self.mrope_sections)
+        else:
+            q = apply_rope(q, positions, self.inv_freq)
+            k = apply_rope(k, positions, self.inv_freq)
         return q, k, v
 
     def layer_post_attn(self, lw: LlamaLayerWeights, x: jax.Array,
@@ -161,12 +171,28 @@ class LlamaModel:
             down = down + lora("down", y)
         return x + self.tp.reduce(down)
 
+    @staticmethod
+    def splice_mm(x: jax.Array, mm_embeds: jax.Array,
+                  mm_rows: jax.Array) -> jax.Array:
+        """Write vision embeddings into placeholder rows of x [T, H].
+
+        ``mm_rows`` [M] int32 (-1 = pad); pad rows scatter out of bounds
+        and are dropped (the reference's splice raises on count mismatch,
+        ``/root/reference/vllm_metal/multimodal/embeddings.py:39``; here
+        padding is first-class because batches are bucketed).
+        """
+        rows = jnp.where(mm_rows >= 0, mm_rows, x.shape[0])
+        return x.at[rows].set(mm_embeds.astype(x.dtype), mode="drop")
+
     def forward_hidden(self, weights: LlamaWeights, token_ids: jax.Array,
                        positions: jax.Array, attn_fn: AttnFn,
-                       lora_fn=None) -> jax.Array:
+                       lora_fn=None, mm_embeds=None,
+                       mm_rows=None) -> jax.Array:
         """token_ids [T] -> final hidden states [T, H] (pre-norm applied).
 
         ``lora_fn``: optional callable layer_idx -> (name, x) -> delta.
+        ``mm_embeds``/``mm_rows``: optional vision-embedding splice
+        (placeholder rows replaced after token embedding).
         When ``weights.layers`` is a stacked LlamaLayerWeights (leaves
         [L, ...]) the layers run under lax.scan — one compiled layer body
         instead of an unrolled graph (the net-new compile-time design the
@@ -174,8 +200,11 @@ class LlamaModel:
         """
         if not isinstance(weights.layers, (list, tuple)):
             return self._forward_scan(weights, token_ids, positions,
-                                      attn_fn, lora_fn)
+                                      attn_fn, lora_fn,
+                                      mm_embeds=mm_embeds, mm_rows=mm_rows)
         x = self.embed(weights, token_ids)
+        if mm_embeds is not None:
+            x = self.splice_mm(x, mm_embeds, mm_rows)
         for i, lw in enumerate(weights.layers):
             lora = lora_fn(i) if lora_fn is not None else None
             q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
@@ -184,7 +213,8 @@ class LlamaModel:
         return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps)
 
     def _forward_scan(self, weights, token_ids, positions, runtime,
-                      lora_fn=None) -> jax.Array:
+                      lora_fn=None, mm_embeds=None, mm_rows=None
+                      ) -> jax.Array:
         """lax.scan over the layer INDEX; stacked weights stay closure-
         captured scan constants.  QuantLinear leaves are selected lazily via
         ``at_layer(i)`` — the Pallas matmul kernels index the stacked [L,...]
@@ -202,6 +232,8 @@ class LlamaModel:
         backend = runtime.backend
         md = runtime.md
         x = self.embed(weights, token_ids)
+        if mm_embeds is not None:
+            x = self.splice_mm(x, mm_embeds, mm_rows)
         cache0 = runtime.final_cache()
         stacked = weights.layers
         is_ql = lambda leaf: isinstance(leaf, QuantLinear)  # noqa: E731

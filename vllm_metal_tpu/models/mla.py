@@ -143,7 +143,9 @@ class MLAModel:
 
     def forward_hidden(self, weights: MLAWeights, token_ids: jax.Array,
                        positions: jax.Array, runtime: Any,
-                       lora_fn=None) -> jax.Array:
+                       lora_fn=None, mm_embeds=None,
+                       mm_rows=None) -> jax.Array:
+        assert mm_embeds is None, "MLA models have no multimodal path"
         cfg = self.cfg
         x = self.embed(weights, token_ids)
         for i, lw in enumerate(weights.layers):

@@ -211,7 +211,8 @@ class Qwen3NextModel:
         return x + self.tp.reduce(linear(y, lw.down))
 
     def forward_hidden(self, weights, token_ids, positions, runtime,
-                       lora_fn=None):
+                       lora_fn=None, mm_embeds=None, mm_rows=None):
+        assert mm_embeds is None, "hybrid GDN models have no mm path"
         x = self.embed(weights, token_ids)
         attn_pos = 0
         gdn_pos = 0

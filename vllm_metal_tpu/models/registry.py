@@ -22,6 +22,7 @@ def get_model_class(architecture: str) -> type:
     from . import gemma  # noqa: F401
     from . import mla  # noqa: F401
     from . import mixtral  # noqa: F401
+    from . import qwen2_vl  # noqa: F401
     from . import qwen3_next  # noqa: F401
     try:
         return _REGISTRY[architecture]

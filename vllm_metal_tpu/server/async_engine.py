@@ -52,9 +52,10 @@ class AsyncEngine:
             except queue.Empty:
                 return
             if kind == "add":
-                rid, ids, params = payload
+                rid, ids, params, mm = payload
                 try:
-                    self.engine.add_request(ids, params, request_id=rid)
+                    self.engine.add_request(ids, params, request_id=rid,
+                                            mm_features=mm)
                 except Exception as e:  # surface validation errors
                     self._emit(rid, e)
             elif kind == "abort":
@@ -108,12 +109,13 @@ class AsyncEngine:
 
     # -- async API -------------------------------------------------------
     async def generate(self, prompt_ids: list[int], params: SamplingParams,
-                       request_id: Optional[str] = None
+                       request_id: Optional[str] = None,
+                       mm_features: Optional[list] = None
                        ) -> AsyncIterator[RequestOutput]:
         rid = request_id or f"req-{uuid.uuid4().hex[:16]}"
         q: asyncio.Queue = asyncio.Queue()
         self._queues[rid] = q
-        self._in.put(("add", (rid, prompt_ids, params)))
+        self._in.put(("add", (rid, prompt_ids, params, mm_features)))
         self._wake.set()
         try:
             while True:

@@ -203,10 +203,60 @@ class OpenAIServer:
             },
         })
 
+    def _extract_images(self, messages: list) -> tuple[list, list]:
+        """Pull image parts out of OpenAI-style content lists.
+
+        Returns (messages-with-placeholder-text, mm_features).  Each
+        ``image_url`` part (data: URL base64) is preprocessed for the
+        model's vision tower and replaced in the text by its
+        placeholder-token run, which ``_admit_mm`` later re-locates.
+        """
+        model = self.engine.engine.runner.model
+        vc = getattr(model, "vision_cfg", None)
+        if vc is None:
+            return messages, []
+        from ..multimodal.mrope import MMFeature
+        from ..multimodal.processor import preprocess_image
+        image_tok = self.tok.decode([model.image_token_id])
+        feats = []
+        out_msgs = []
+        for m in messages:
+            content = m.get("content")
+            if not isinstance(content, list):
+                out_msgs.append(m)
+                continue
+            parts = []
+            for p in content:
+                if p.get("type") == "image_url":
+                    url = p["image_url"]["url"] \
+                        if isinstance(p.get("image_url"), dict) \
+                        else p.get("image_url", "")
+                    if not url.startswith("data:"):
+                        raise ValueError(
+                            "only data: image URLs are supported "
+                            "(zero-egress deployment)")
+                    import base64
+                    data = base64.b64decode(url.split(",", 1)[1])
+                    patches, grid = preprocess_image(data, vc)
+                    f = MMFeature(offset=-1, grid_thw=grid,
+                                  pixel_patches=patches)
+                    feats.append(f)
+                    n = f.num_tokens(vc.spatial_merge_size)
+                    parts.append(image_tok * n)
+                elif p.get("type") == "text":
+                    parts.append(p.get("text", ""))
+            out_msgs.append({**m, "content": "".join(parts)})
+        return out_msgs, feats
+
     async def chat_completions(self, request: web.Request
                                ) -> web.StreamResponse:
         body = await request.json()
         messages = body.get("messages", [])
+        try:
+            messages, mm_features = self._extract_images(messages)
+        except ValueError as e:
+            return web.json_response({"error": {"message": str(e)}},
+                                     status=400)
         prompt = self.tok.apply_chat_template(messages)
         prompt_ids = self.tok.encode(prompt, add_special_tokens=False)
         try:
@@ -217,9 +267,10 @@ class OpenAIServer:
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if bool(body.get("stream", False)):
             return await self._stream(request, rid, prompt_ids, params,
-                                      chat=True)
+                                      chat=True, mm_features=mm_features)
         try:
-            out, text = await self._collect(rid, prompt_ids, params)
+            out, text = await self._collect(rid, prompt_ids, params,
+                                            mm_features=mm_features)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
                                      status=400)
@@ -239,16 +290,17 @@ class OpenAIServer:
         })
 
     # ------------------------------------------------------------------
-    async def _collect(self, rid, prompt_ids, params):
+    async def _collect(self, rid, prompt_ids, params, mm_features=None):
         last = None
-        async for out in self.engine.generate(prompt_ids, params, rid):
+        async for out in self.engine.generate(prompt_ids, params, rid,
+                                              mm_features=mm_features):
             last = out
         text = self.tok.decode(last.token_ids)
         text = _apply_stop_strings(text, params.stop)
         return last, text
 
-    async def _stream(self, request, rid, prompt_ids, params, chat: bool
-                      ) -> web.StreamResponse:
+    async def _stream(self, request, rid, prompt_ids, params, chat: bool,
+                      mm_features=None) -> web.StreamResponse:
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -265,7 +317,8 @@ class OpenAIServer:
                              "role": "assistant", "content": ""},
                              "finish_reason": None}]}
                 await resp.write(f"data: {json.dumps(first)}\n\n".encode())
-            async for out in self.engine.generate(prompt_ids, params, rid):
+            async for out in self.engine.generate(
+                    prompt_ids, params, rid, mm_features=mm_features):
                 full = self.tok.decode(out.token_ids)
                 full = _apply_stop_strings(full, params.stop)
                 delta = full[len(sent_text):]
