@@ -104,6 +104,75 @@ def test_mla_decode_steps_match():
         seq.append(int(out.token_ids[0]))
 
 
+class TestMLAKernel:
+    """Pallas MLA kernel (interpret mode) vs the jnp reference oracle."""
+
+    R, ROPE, H, BS = 128, 64, 4, 16
+
+    def _setup(self, query_lens, context_lens, seed=0):
+        from vllm_metal_tpu.attention.metadata import build_metadata
+        rng = np.random.default_rng(seed)
+        t = sum(query_lens)
+        t_pad = max(8, -(-t // 8) * 8)
+        w = self.R + self.ROPE
+        nb = 16
+        dn = 32
+        q_nope = rng.standard_normal((t_pad, self.H, dn), np.float32) * 0.3
+        q_rope = rng.standard_normal((t_pad, self.H, self.ROPE),
+                                     np.float32) * 0.3
+        w_uk = rng.standard_normal((self.H, dn, self.R), np.float32) * 0.1
+        # pool is lane-padded (256 for W=192); ref reads the logical slice
+        w_pad = -(-w // 128) * 128
+        latents = rng.standard_normal((2, nb, self.BS, w_pad),
+                                      np.float32) * 0.3
+        blocks_needed = [-(-c // self.BS) for c in context_lens]
+        bt, nxt = [], 0
+        for nblk in blocks_needed:
+            bt.append(list(range(nxt, nxt + nblk)))
+            nxt += nblk
+        md = build_metadata(
+            query_lens=query_lens, context_lens=context_lens,
+            block_tables=bt, block_size=self.BS, token_pad=t_pad,
+            seq_pad=4, max_blocks_per_seq=8)
+        return (jnp.asarray(q_nope), jnp.asarray(q_rope),
+                jnp.asarray(latents), jnp.asarray(w_uk), md, t)
+
+    def _compare(self, query_lens, context_lens, layer=1, bq=None):
+        from vllm_metal_tpu.ops.mla_attention import mla_paged_attention_ref
+        from vllm_metal_tpu.ops.mla_attention_kernel import \
+            mla_paged_attention
+        q_nope, q_rope, latents, w_uk, md, t = self._setup(
+            query_lens, context_lens)
+        scale = 0.1
+        want = mla_paged_attention_ref(
+            q_nope, q_rope, latents[layer][..., :self.R + self.ROPE],
+            w_uk, md, kv_lora_rank=self.R, scale=scale)
+        got = mla_paged_attention(
+            q_nope, q_rope, latents, w_uk, md, layer,
+            kv_lora_rank=self.R, scale=scale, interpret=True, bq=bq)
+        # kernel runs q/latents in bf16: tolerances at bf16 rounding level
+        np.testing.assert_allclose(np.asarray(got)[:t],
+                                   np.asarray(want)[:t],
+                                   atol=0.05, rtol=0.05)
+
+    def test_decode_batch(self):
+        self._compare([1, 1, 1], [7, 19, 33])
+
+    def test_prefill_single(self):
+        self._compare([24], [24])
+
+    def test_mixed_batch(self):
+        self._compare([1, 12, 1], [30, 12, 5])
+
+    def test_chunked_continuation(self):
+        # query shorter than context: continuation of a chunked prefill
+        self._compare([8, 1], [40, 9])
+
+    def test_tile_spanning_bq8(self):
+        # multiple seqs share one 8-row tile
+        self._compare([3, 2, 3], [10, 6, 12], bq=8)
+
+
 def test_mla_engine_e2e():
     cfg = EngineConfig(
         model=CFG, cache=CacheConfig(block_size=16),

@@ -28,10 +28,15 @@ class PagedAttentionBackend:
                  use_pallas: Optional[bool] = None):
         self.cfg = model_cfg
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
-                          # Mosaic lane constraint: kernels assume the head
-                          # dim fills 128-lane registers
-                          and model_cfg.head_dim % 128 == 0
+            if model_cfg.is_mla:
+                # MLA kernel constraint: the latent rank fills 128-lane
+                # registers (rope tail may be unaligned; Mosaic masks it)
+                dim_ok = model_cfg.kv_lora_rank % 128 == 0
+            else:
+                # Mosaic lane constraint: kernels assume the head dim
+                # fills 128-lane registers
+                dim_ok = model_cfg.head_dim % 128 == 0
+            use_pallas = (jax.default_backend() == "tpu" and dim_ok
                           and not envs.FORCE_REFERENCE_ATTENTION)
         self.use_pallas = use_pallas
         self.scale = model_cfg.extra.get(
@@ -120,13 +125,21 @@ class StepRuntime:
         """MLA: write latent rows, attend in compressed space.
 
         Returns latent-space output [T, H, R] (the model applies W_uv)."""
-        from ..ops.mla_attention import mla_paged_attention_ref
         cache = self._cell[0].write(layer_idx, c_kv, k_rope,
                                     self.md.slot_mapping)
         self._cell[0] = cache
+        from ..ops.mla_attention_kernel import mla_kernel_supported
+        if self.backend.use_pallas \
+                and mla_kernel_supported(q_nope.shape[1]):
+            from ..ops.mla_attention_kernel import mla_paged_attention
+            return mla_paged_attention(
+                q_nope, q_rope, cache.latents, w_uk, self.md, layer_idx,
+                kv_lora_rank=cache.kv_lora_rank, scale=scale,
+                interpret=bool(envs.PALLAS_INTERPRET))
+        from ..ops.mla_attention import mla_paged_attention_ref
         return mla_paged_attention_ref(
-            q_nope, q_rope, cache.latents[layer_idx], w_uk, self.md,
-            kv_lora_rank=cache.kv_lora_rank, scale=scale)
+            q_nope, q_rope, cache.latents[layer_idx][..., :cache.width],
+            w_uk, self.md, kv_lora_rank=cache.kv_lora_rank, scale=scale)
 
     def attend_hybrid(self, attn_pos: int, q, k, v):
         """Full-attention layer of a hybrid model (cache is HybridCache;

@@ -18,13 +18,19 @@ from ..config import CacheConfig, ModelConfig
 from ..utils import static_dataclass
 
 
-@static_dataclass(meta_fields=("block_size", "kv_lora_rank"))
+@static_dataclass(meta_fields=("block_size", "kv_lora_rank", "rope_dim"))
 class MLAPagedLatentCache:
-    """latents: [L, num_blocks, block_size, R + rope_dim]."""
+    """latents: [L, num_blocks, block_size, W_pad].
+
+    ``W_pad`` is ``R + rope_dim`` rounded up to a 128 multiple — Mosaic
+    DMA slices must be lane-aligned, and the kernel's query pads with
+    zeros so the extra columns never contribute to scores.
+    """
 
     latents: jax.Array
     block_size: int = 16
     kv_lora_rank: int = 512
+    rope_dim: int = 64
 
     @property
     def num_layers(self) -> int:
@@ -35,27 +41,34 @@ class MLAPagedLatentCache:
         return self.latents.shape[1]
 
     @property
-    def rope_dim(self) -> int:
-        return self.latents.shape[3] - self.kv_lora_rank
+    def width(self) -> int:
+        """Logical row width (R + rope_dim), excluding lane padding."""
+        return self.kv_lora_rank + self.rope_dim
 
     @classmethod
     def allocate(cls, model_cfg: ModelConfig, cache_cfg: CacheConfig,
                  num_blocks: int, dtype=jnp.bfloat16) -> "MLAPagedLatentCache":
         width = model_cfg.kv_lora_rank + model_cfg.qk_rope_head_dim
+        w_pad = -(-width // 128) * 128
         shape = (model_cfg.num_layers, num_blocks, cache_cfg.block_size,
-                 width)
+                 w_pad)
         return cls(latents=jnp.zeros(shape, dtype),
                    block_size=cache_cfg.block_size,
-                   kv_lora_rank=model_cfg.kv_lora_rank)
+                   kv_lora_rank=model_cfg.kv_lora_rank,
+                   rope_dim=model_cfg.qk_rope_head_dim)
 
     def write(self, layer_idx: int, c_kv: jax.Array, k_rope: jax.Array,
               slot_mapping: jax.Array) -> "MLAPagedLatentCache":
         """Scatter latent rows.  c_kv: [T, R]; k_rope: [T, rope_dim]."""
-        l, nb, bs, w = self.latents.shape
+        l, nb, bs, w_pad = self.latents.shape
         rows = jnp.concatenate(
             [c_kv, k_rope], axis=-1).astype(self.latents.dtype)
-        flat = self.latents[layer_idx].reshape(nb * bs, w)
+        if rows.shape[-1] != w_pad:
+            rows = jnp.pad(rows, ((0, 0), (0, w_pad - rows.shape[-1])))
+        flat = self.latents[layer_idx].reshape(nb * bs, w_pad)
         flat = flat.at[slot_mapping].set(rows, mode="drop")
         return MLAPagedLatentCache(
-            latents=self.latents.at[layer_idx].set(flat.reshape(nb, bs, w)),
-            block_size=self.block_size, kv_lora_rank=self.kv_lora_rank)
+            latents=self.latents.at[layer_idx].set(
+                flat.reshape(nb, bs, w_pad)),
+            block_size=self.block_size, kv_lora_rank=self.kv_lora_rank,
+            rope_dim=self.rope_dim)
