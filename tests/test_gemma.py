@@ -126,3 +126,116 @@ def test_sinks_change_attention():
     l1 = np.asarray(r1.execute([seq]).logits)
     l2 = np.asarray(r2.execute([seq]).logits)
     assert np.abs(l1 - l2).max() > 1e-4  # sinks had an effect
+
+
+# ---------------------------------------------------------------------------
+# YOCO (Gemma4-style KV sharing)
+# ---------------------------------------------------------------------------
+
+def _yoco_cfg(n_shared=2):
+    return ModelConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=I, num_layers=L,
+        num_heads=NH, num_kv_heads=NKV, head_dim=HD, max_model_len=64,
+        architecture="gemma3", scale_embeddings=True,
+        sliding_window=8, sliding_window_pattern=[True, False],
+        extra={"num_kv_shared_layers": n_shared})
+
+
+def _dense_yoco_attn(cfg, store):
+    """Dense oracle: caching layers record K/V; shared layers reuse them."""
+
+    def masked_dense(layer_idx, q, k, v):
+        t, hq, d = q.shape
+        rep = hq // k.shape[1]
+        kx = jnp.repeat(k, rep, axis=1)
+        vx = jnp.repeat(v, rep, axis=1)
+        logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                            kx.astype(jnp.float32)) * (d ** -0.5)
+        mask = np.tril(np.ones((t, t), bool))
+        w = cfg.layer_sliding_window(layer_idx)
+        if w is not None:
+            rows = np.arange(t)[:, None]
+            mask = mask & (np.arange(t)[None, :] > rows - w)
+        logits = jnp.where(jnp.asarray(mask)[None], logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("hqk,khd->qhd", p,
+                          vx.astype(jnp.float32)).astype(q.dtype)
+
+    def attn(layer_idx, q, k, v):
+        store[layer_idx] = (k, v)
+        return masked_dense(layer_idx, q, k, v)
+
+    def attend_shared(layer_idx, ref_layer, q):
+        k, v = store[ref_layer]
+        return masked_dense(layer_idx, q, k, v)
+
+    attn.attend_shared = attend_shared
+    return attn
+
+
+def test_yoco_cache_has_fewer_layers():
+    cfg = _yoco_cfg()
+    assert cfg.num_cached_layers == L - 2
+    # shared layer 2 is sliding (pattern idx 0) -> last sliding cacher = 0
+    assert cfg.yoco_ref_layer(2) == 0
+    # shared layer 3 is full -> last full cacher = 1
+    assert cfg.yoco_ref_layer(3) == 1
+    model = GemmaModel(cfg)
+    weights = model.init_random(jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert weights.layers[3].wk is None and weights.layers[2].wv is None
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  token_buckets=(16, 32, 64)))
+    runner = ModelRunner(model, weights, ecfg, num_blocks=16,
+                         use_pallas=False)
+    assert runner.cache.kv.shape[0] == L - 2
+
+
+def test_yoco_paged_matches_dense():
+    cfg = _yoco_cfg()
+    model = GemmaModel(cfg)
+    weights = model.init_random(jax.random.PRNGKey(3), dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  token_buckets=(16, 32, 64)))
+    runner = ModelRunner(model, weights, ecfg, num_blocks=16,
+                         use_pallas=False)
+    prompt = [int(x) for x in
+              np.random.default_rng(4).integers(1, V - 1, 14)]
+    out = runner.execute([SeqStepInput(
+        query_tokens=prompt, context_len=len(prompt), block_table=[1],
+        params=SamplingParams(temperature=0.0))])
+    ids = jnp.asarray(prompt, jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)
+    dense = model.forward(weights, ids, pos, _dense_yoco_attn(cfg, {}))
+    np.testing.assert_allclose(np.asarray(out.logits)[0],
+                               np.asarray(dense)[-1], atol=0.05, rtol=0.05)
+
+
+def test_yoco_decode_steps_match():
+    cfg = _yoco_cfg()
+    model = GemmaModel(cfg)
+    weights = model.init_random(jax.random.PRNGKey(5), dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  token_buckets=(16, 32, 64)))
+    runner = ModelRunner(model, weights, ecfg, num_blocks=16,
+                         use_pallas=False)
+    seq = [5, 9, 31, 2]
+    out = runner.execute([SeqStepInput(
+        query_tokens=seq, context_len=len(seq), block_table=[1, 2],
+        params=SamplingParams(temperature=0.0))])
+    for _ in range(4):
+        seq.append(int(out.token_ids[0]))
+        out = runner.execute([SeqStepInput(
+            query_tokens=[seq[-1]], context_len=len(seq),
+            block_table=[1, 2], params=SamplingParams(temperature=0.0))])
+        ids = jnp.asarray(seq, jnp.int32)
+        pos = jnp.arange(len(seq), dtype=jnp.int32)
+        dense = model.forward(weights, ids, pos, _dense_yoco_attn(cfg, {}))
+        np.testing.assert_allclose(np.asarray(out.logits)[0],
+                                   np.asarray(dense)[-1],
+                                   atol=0.05, rtol=0.05)

@@ -86,6 +86,26 @@ class PagedAttentionBackend:
                 logit_softcap=self.cfg.attn_logit_softcap)
         return out, cache
 
+    def attend_read(self, window_layer_idx: int, ref_layer: int,
+                    q: jax.Array, cache: PagedKVCache,
+                    md: AttentionMetadata) -> jax.Array:
+        """Attend q against an existing pool layer WITHOUT writing K/V —
+        the YOCO shared-layer read (reference ``shared_kv`` path,
+        ``/root/reference/vllm_metal/attention/impls/sdpa.py:221``).
+        The sliding window comes from the *shared* layer's config."""
+        window = self.cfg.layer_sliding_window(window_layer_idx)
+        if self.use_pallas:
+            from ..ops.paged_attention_kernel import paged_attention
+            return paged_attention(
+                q, cache.kv, md, ref_layer,
+                scale=self.scale, sliding_window=window,
+                logit_softcap=self.cfg.attn_logit_softcap,
+                interpret=bool(envs.PALLAS_INTERPRET))
+        return paged_attention_ref(
+            q, cache.k[ref_layer], cache.v[ref_layer], md,
+            scale=self.scale, sliding_window=window,
+            logit_softcap=self.cfg.attn_logit_softcap)
+
     def make_attn_fn(self, cache: PagedKVCache, md: AttentionMetadata,
                      sinks_per_layer: Optional[list] = None
                      ) -> tuple[Callable, Callable[[], PagedKVCache]]:
@@ -119,6 +139,11 @@ class StepRuntime:
         out, self._cell[0] = self.backend.attend(
             layer_idx, q, k, v, self._cell[0], self.md, sinks)
         return out
+
+    def attend_shared(self, layer_idx: int, ref_layer: int, q):
+        """YOCO shared layer: read-only attention on the ref layer's KV."""
+        return self.backend.attend_read(layer_idx, ref_layer, q,
+                                        self._cell[0], self.md)
 
     def attend_mla(self, layer_idx, q_nope, q_rope, c_kv, k_rope, w_uk,
                    scale):

@@ -60,8 +60,10 @@ class PagedKVCache:
     @classmethod
     def allocate(cls, model_cfg: ModelConfig, cache_cfg: CacheConfig,
                  num_blocks: int, dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (model_cfg.num_layers, num_blocks, model_cfg.num_kv_heads,
-                 2 * cache_cfg.block_size, model_cfg.head_dim)
+        # YOCO: only the leading num_cached_layers own pool storage
+        shape = (model_cfg.num_cached_layers, num_blocks,
+                 model_cfg.num_kv_heads, 2 * cache_cfg.block_size,
+                 model_cfg.head_dim)
         return cls(kv=jnp.zeros(shape, dtype),
                    block_size=cache_cfg.block_size)
 

@@ -80,6 +80,29 @@ class ModelConfig:
         pat = self.sliding_window_pattern
         return self.sliding_window if pat[layer_idx % len(pat)] else None
 
+    @property
+    def num_cached_layers(self) -> int:
+        """Layers that own KV cache storage.  YOCO (Gemma4-style KV
+        sharing, ``extra['num_kv_shared_layers']``) caches only the
+        leading layers — trailing layers read a reference layer's pool
+        (reference: ``cache_policy.py:314-319``, ``yoco.py``)."""
+        return self.num_layers - int(
+            self.extra.get("num_kv_shared_layers", 0) or 0)
+
+    def yoco_ref_layer(self, layer_idx: int) -> int:
+        """KV-provider layer for a shared layer: the last caching layer
+        with the same attention type (sliding vs full) — the reference's
+        KV-sharing map (``model_adapter.py:527``)."""
+        nc = self.num_cached_layers
+        assert layer_idx >= nc
+        want = self.layer_sliding_window(layer_idx)
+        for j in range(nc - 1, -1, -1):
+            if self.layer_sliding_window(j) == want:
+                return j
+        raise ValueError(
+            f"no caching layer matches shared layer {layer_idx} "
+            f"(window {want})")
+
 
 @dataclass
 class CacheConfig:

@@ -125,6 +125,7 @@ class ModelRunner:
                     and not cfg.model.is_mla
                     and not cfg.cache.kv_quant_k
                     and not cfg.model.extra.get("full_attention_interval")
+                    and not cfg.model.extra.get("num_kv_shared_layers")
                     and cfg.model.sliding_window_pattern is None
                     and mesh is None
                     and hasattr(model, "stack_layers")

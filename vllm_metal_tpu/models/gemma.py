@@ -43,18 +43,25 @@ class GemmaModel(LlamaModel):
             rope_frequencies(cfg.head_dim, local_theta)
             if local_theta else self.inv_freq)
         self.act = activation(cfg.extra.get("hidden_act", "gelu_tanh"))
+        # YOCO (Gemma4): trailing layers reuse a caching layer's KV
+        self.num_shared = int(cfg.extra.get("num_kv_shared_layers", 0) or 0)
 
     def init_random(self, key, dtype=jnp.bfloat16):
         base = super().init_random(key, dtype)
         h = self.cfg.hidden_size
+        nc = self.cfg.num_cached_layers
         layers = [GemmaLayerWeights(
             **{f: getattr(lw, f) for f in (
-                "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
-                "gate", "up", "down", "q_norm", "k_norm")},
+                "attn_norm", "wq", "wo", "mlp_norm",
+                "gate", "up", "down", "q_norm")},
+            # YOCO shared layers have no K/V projections
+            wk=lw.wk if i < nc else None,
+            wv=lw.wv if i < nc else None,
+            k_norm=lw.k_norm if i < nc else None,
             post_attn_norm=jnp.zeros((h,), dtype),
             pre_ffn_norm=None,
             post_ffn_norm=jnp.zeros((h,), dtype),
-        ) for lw in base.layers]
+        ) for i, lw in enumerate(base.layers)]
         return LlamaWeights(embedding=base.embedding, layers=layers,
                             final_norm=base.final_norm, lm_head=base.lm_head)
 
@@ -100,15 +107,32 @@ class GemmaModel(LlamaModel):
             m = rms_norm(m, lw.post_ffn_norm, cfg.rms_norm_eps, offset=1.0)
         return x + m
 
+    def layer_q_only(self, lw, x, positions):
+        """Query path for a YOCO shared layer (no K/V projection)."""
+        cfg = self.cfg
+        t = x.shape[0]
+        h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps, offset=1.0)
+        q = linear(h, lw.wq).reshape(t, -1, cfg.head_dim)
+        if lw.q_norm is not None:
+            q = rms_norm(q, lw.q_norm, cfg.rms_norm_eps, offset=1.0)
+        return apply_rope(q, positions, self.inv_freq)
+
     def forward_hidden(self, weights, token_ids, positions, attn_fn,
                        lora_fn=None, mm_embeds=None, mm_rows=None):
+        cfg = self.cfg
+        nc = cfg.num_cached_layers
         x = self.embed(weights, token_ids)
         if mm_embeds is not None:
             x = self.splice_mm(x, mm_embeds, mm_rows)
         for i, lw in enumerate(weights.layers):
             lora = lora_fn(i) if lora_fn is not None else None
-            q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
-            attn_out = attn_fn(i, q, k, v)
+            if i >= nc:     # YOCO shared layer: read the ref layer's KV
+                q = self.layer_q_only(lw, x, positions)
+                attn_out = attn_fn.attend_shared(
+                    i, cfg.yoco_ref_layer(i), q)
+            else:
+                q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
+                attn_out = attn_fn(i, q, k, v)
             x = self.layer_post_attn(lw, x, attn_out, lora=lora)
         return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps,
                         offset=1.0)
