@@ -137,3 +137,61 @@ def test_mixtral_gguf_load(tmp_path):
     outs = eng.generate([[5, 9, 2]], SamplingParams(temperature=0.0,
                                                     max_tokens=3))
     assert list(outs.values())[0].finished
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism (stacked experts sharded over the mesh)
+# ---------------------------------------------------------------------------
+
+def test_stacked_moe_matches_list():
+    """MoEWeightsEP (no mesh) computes exactly what the list form does."""
+    import jax.numpy as jnp
+    from vllm_metal_tpu.models.moe import moe_ffn, stack_experts
+    w = init_random_moe(jax.random.PRNGKey(1), 32, 48, 4, 2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (6, 32), jnp.float32)
+    a = np.asarray(moe_ffn(x, w, jax.nn.silu))
+    b = np.asarray(moe_ffn(x, stack_experts(w), jax.nn.silu))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_expert_parallel_matches_single_device():
+    """EP over a 4-way virtual mesh == single-device MoE engine logits."""
+    import jax.numpy as jnp
+    from vllm_metal_tpu.engine.model_runner import ModelRunner, SeqStepInput
+    from vllm_metal_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device CPU")
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=8, max_model_len=64,
+        extra={"num_experts": 8, "num_experts_per_tok": 2},
+    )
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4,
+                                  max_num_batched_tokens=32,
+                                  token_buckets=(16, 32)))
+    model = MixtralModel(cfg)
+    weights = model.init_random(jax.random.PRNGKey(3), dtype=jnp.float32)
+
+    single = ModelRunner(MixtralModel(cfg), weights, ecfg, num_blocks=16,
+                         use_pallas=False)
+    import dataclasses
+    ecfg_ep = dataclasses.replace(ecfg)
+    ecfg_ep.parallel = dataclasses.replace(
+        ecfg.parallel, tensor_parallel_size=4, expert_parallel=True)
+    mesh = make_mesh(tp=4, dp=1)
+    ep = ModelRunner(MixtralModel(cfg), weights, ecfg_ep, num_blocks=16,
+                     mesh=mesh, use_pallas=False)
+
+    prompt = [3, 17, 42, 8, 25, 60]
+    seq = SeqStepInput(query_tokens=prompt, context_len=len(prompt),
+                       block_table=[1], params=SamplingParams(temperature=0.0))
+    l1 = np.asarray(single.execute([seq]).logits)[0]
+    seq2 = SeqStepInput(query_tokens=prompt, context_len=len(prompt),
+                        block_table=[1],
+                        params=SamplingParams(temperature=0.0))
+    l2 = np.asarray(ep.execute([seq2]).logits)[0]
+    np.testing.assert_allclose(l1, l2, atol=5e-3, rtol=5e-3)
+    assert l1.argmax() == l2.argmax()

@@ -158,6 +158,9 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # MoE expert parallelism: shard the expert dim over the tp axis
+    # instead of sharding each expert's matrices (moe.MoEWeightsEP)
+    expert_parallel: bool = False
     # mesh axis names
     tp_axis: str = "model"
     dp_axis: str = "data"

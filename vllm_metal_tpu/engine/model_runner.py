@@ -117,6 +117,9 @@ class ModelRunner:
                     f"tp={tp}")
             if not getattr(model.tp, "enabled", False):
                 model.tp = TPContext(cfg.parallel.tp_axis, tp)
+            if cfg.parallel.expert_parallel:
+                from ..models.mixtral import MixtralModel
+                weights = MixtralModel.stack_expert_weights(weights)
             weights = shard_weights(weights, mesh)
             cache = shard_cache(cache, mesh)
         scan = cfg.model.scan_layers

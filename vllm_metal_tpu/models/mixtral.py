@@ -42,6 +42,17 @@ class MixtralModel(LlamaModel):
                             final_norm=base.final_norm,
                             lm_head=base.lm_head)
 
+    @staticmethod
+    def stack_expert_weights(weights: LlamaWeights) -> LlamaWeights:
+        """Convert every layer's MoE to the expert-parallel stacked form
+        (expert dim shards over the mesh; see ``moe.MoEWeightsEP``)."""
+        import dataclasses
+        from .moe import stack_experts
+        layers = [dataclasses.replace(lw, moe=stack_experts(lw.moe))
+                  if getattr(lw, "moe", None) is not None else lw
+                  for lw in weights.layers]
+        return dataclasses.replace(weights, layers=layers)
+
     def layer_post_attn(self, lw, x, attn_out, lora=None):
         t = x.shape[0]
         ao = attn_out.reshape(t, -1)
@@ -51,7 +62,7 @@ class MixtralModel(LlamaModel):
         x = x + self.tp.reduce(o)
         h = rms_norm(x, lw.mlp_norm, self.cfg.rms_norm_eps)
         if getattr(lw, "moe", None) is not None:
-            y = moe_ffn(h, lw.moe, self.act)
+            y = moe_ffn(h, lw.moe, self.act, tp=self.tp)
         else:
             y = self.act(linear(h, lw.gate).astype(jnp.float32)).astype(
                 h.dtype) * linear(h, lw.up)

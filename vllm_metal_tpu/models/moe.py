@@ -36,38 +36,106 @@ class MoEWeights:
     renormalize: bool = True
 
 
-def moe_ffn(x: jax.Array, w: MoEWeights, act) -> jax.Array:
+@static_dataclass(meta_fields=("top_k", "renormalize", "num_experts"))
+class MoEWeightsEP:
+    """Expert-parallel MoE FFN: expert weights stacked [E, ...] so the
+    expert dim shards over the mesh (field names ``egate/eup/edown`` are
+    the sharding contract — ``parallel.shardings`` maps them to
+    ``P('model')`` on dim 0).  The reference rejects EP outright
+    ("MLX has no all_to_all", ``platform.py:543-548``); on TPU the
+    dense-dispatch formulation needs only the layer's existing psum —
+    each chip computes its local experts on the (replicated) token batch
+    and the row-parallel reduction combines them.
+    """
+
+    router: QuantLinear            # [E, H] (replicated)
+    egate: QuantLinear             # stacked [E, I, H]
+    eup: QuantLinear
+    edown: QuantLinear
+    shared_gate: Optional[QuantLinear] = None
+    shared_up: Optional[QuantLinear] = None
+    shared_down: Optional[QuantLinear] = None
+    top_k: int = 2
+    renormalize: bool = True
+    num_experts: int = 0
+
+
+def stack_experts(w: MoEWeights) -> MoEWeightsEP:
+    """Per-expert QuantLinear lists -> stacked [E, ...] leaves."""
+    def stack(lins: list) -> QuantLinear:
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *lins)
+
+    return MoEWeightsEP(
+        router=w.router, egate=stack(w.gate), eup=stack(w.up),
+        edown=stack(w.down), shared_gate=w.shared_gate,
+        shared_up=w.shared_up, shared_down=w.shared_down,
+        top_k=w.top_k, renormalize=w.renormalize,
+        num_experts=len(w.gate))
+
+
+def _routing_weights(x, w) -> jax.Array:
+    """[T, E] per-token weight of every expert (0 outside the top-k)."""
+    n_exp = w.num_experts if isinstance(w, MoEWeightsEP) else len(w.gate)
+    logits = linear(x, w.router, out_dtype=jnp.float32)    # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_vals, top_idx = jax.lax.top_k(probs, w.top_k)      # [T, K]
+    if w.renormalize:
+        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(top_idx, n_exp, dtype=jnp.float32)  # [T, K, E]
+    return jnp.einsum("tk,tke->te", top_vals, onehot)
+
+
+def _shared_expert(x, w, act) -> jax.Array:
+    g = act(linear(x, w.shared_gate).astype(jnp.float32))
+    u = linear(x, w.shared_up).astype(jnp.float32)
+    return linear((g * u).astype(x.dtype),
+                  w.shared_down).astype(jnp.float32)
+
+
+def moe_ffn(x: jax.Array, w, act, tp=None) -> jax.Array:
     """x [T, H] -> [T, H].
 
     Routing: softmax over router logits, top-k, renormalized (the
     Mixtral/Qwen convention).  Each expert computes on the full token batch
     with its per-token routing weight masked in — experts a token doesn't
     use contribute exactly zero.
+
+    With ``MoEWeightsEP`` under an active TP context, each shard holds
+    E/P experts; the returned partial sum relies on the caller's
+    row-parallel psum (``tp.reduce``) to combine shards, and the shared
+    expert contributes from shard 0 only.
     """
     t, h = x.shape
-    n_exp = len(w.gate)
-    logits = linear(x, w.router, out_dtype=jnp.float32)    # [T, E]
-    probs = jax.nn.softmax(logits, axis=-1)
-    top_vals, top_idx = jax.lax.top_k(probs, w.top_k)      # [T, K]
-    if w.renormalize:
-        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
-
-    # per-expert per-token routing weight: [T, E]
-    onehot = jax.nn.one_hot(top_idx, n_exp, dtype=jnp.float32)  # [T, K, E]
-    token_w = jnp.einsum("tk,tke->te", top_vals, onehot)
-
+    token_w = _routing_weights(x, w)
     out = jnp.zeros((t, h), jnp.float32)
-    for e in range(n_exp):
+
+    if isinstance(w, MoEWeightsEP):
+        e_loc = jax.tree.leaves(w.egate)[0].shape[0]
+        ep = tp is not None and getattr(tp, "enabled", False)
+        off = tp.shard_index() * e_loc if ep else 0
+        for e in range(e_loc):
+            g = act(linear(x, w.egate.at_layer(e)).astype(jnp.float32))
+            u = linear(x, w.eup.at_layer(e)).astype(jnp.float32)
+            d = linear((g * u).astype(x.dtype),
+                       w.edown.at_layer(e)).astype(jnp.float32)
+            tw = jnp.take_along_axis(
+                token_w, jnp.full((t, 1), off + e, jnp.int32), axis=1)
+            out = out + d * tw
+        if w.shared_gate is not None:
+            s = _shared_expert(x, w, act)
+            if ep:  # contribute once; the caller's psum sums shards
+                s = jnp.where(tp.shard_index() == 0, s, 0.0)
+            out = out + s
+        return out.astype(x.dtype)
+
+    for e in range(len(w.gate)):
         g = act(linear(x, w.gate[e]).astype(jnp.float32))
         u = linear(x, w.up[e]).astype(jnp.float32)
         d = linear((g * u).astype(x.dtype), w.down[e]).astype(jnp.float32)
         out = out + d * token_w[:, e][:, None]
 
     if w.shared_gate is not None:
-        g = act(linear(x, w.shared_gate).astype(jnp.float32))
-        u = linear(x, w.shared_up).astype(jnp.float32)
-        out = out + linear((g * u).astype(x.dtype),
-                           w.shared_down).astype(jnp.float32)
+        out = out + _shared_expert(x, w, act)
     return out.astype(x.dtype)
 
 

@@ -25,6 +25,7 @@ _COLUMN = ("wq", "wk", "wv", "gate", "up")          # shard out_features
 _ROW = ("wo", "down")                               # shard in_features
 _VOCAB = ("embedding", "lm_head")                   # shard vocab rows
 _SHARD_VEC = ("bq", "bk", "bv", "sinks")            # 1-D sharded vectors
+_EXPERT = ("egate", "eup", "edown")                 # shard the expert dim
 
 
 def _linear_spec(role: str, field: str, kind: str, layout: str,
@@ -56,6 +57,10 @@ def weight_pspecs(weights: Any) -> Any:
 
     def spec_for_path(path, leaf) -> Any:
         names = [p.name for p in path if hasattr(p, "name")]
+        if any(n in _EXPERT for n in names) and is_ql(leaf):
+            # expert-parallel stacked weights: dim 0 is the expert dim
+            return jax.tree.map(
+                lambda arr: P("model", *([None] * (arr.ndim - 1))), leaf)
         role = None
         for n in names:
             if n in _COLUMN + _ROW + _VOCAB:
