@@ -39,8 +39,10 @@ class PagedAttentionBackend:
             use_pallas = (jax.default_backend() == "tpu" and dim_ok
                           and not envs.FORCE_REFERENCE_ATTENTION)
         self.use_pallas = use_pallas
+        from ..models.common import yarn_attention_factor
         self.scale = model_cfg.extra.get(
-            "attn_scale", model_cfg.head_dim ** -0.5)
+            "attn_scale", model_cfg.head_dim ** -0.5) \
+            * yarn_attention_factor(model_cfg.rope_scaling)
 
     def attend(self, layer_idx: int, q: jax.Array, k: jax.Array,
                v: jax.Array, cache: PagedKVCache,

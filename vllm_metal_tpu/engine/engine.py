@@ -508,6 +508,33 @@ class LLMEngine:
             self.bm.free(rid)
 
     # ------------------------------------------------------------------
+    def classify(self, prompt_token_ids: list[int], no_id: int,
+                 yes_id: int) -> float:
+        """Qwen3-reranker-style classify: P(yes) from the last-token
+        logits' (no, yes) pair (the reference's classify pooling,
+        ``/root/reference/vllm_metal/v1/pooling.py:20,303``)."""
+        import numpy as np
+        from .model_runner import SeqStepInput
+        n = len(prompt_token_ids)
+        if n == 0:
+            raise ValueError("empty prompt")
+        rid = f"classify-{next(self._id_counter)}"
+        if not self.bm.allocate(rid, prompt_token_ids):
+            raise RuntimeError("no KV blocks free for classify request")
+        try:
+            out = self.runner.execute([SeqStepInput(
+                query_tokens=list(prompt_token_ids), context_len=n,
+                block_table=self.bm.get_block_table(rid),
+                params=SamplingParams(max_tokens=1))])
+            logits = np.asarray(out.logits)[0]
+            pair = np.asarray([logits[no_id], logits[yes_id]], np.float64)
+            pair -= pair.max()
+            e = np.exp(pair)
+            return float(e[1] / e.sum())
+        finally:
+            self.bm.free(rid)
+
+    # ------------------------------------------------------------------
     def generate(self, prompts: Iterable[list[int]],
                  params: Optional[SamplingParams] = None,
                  max_steps: int = 100_000) -> dict[str, RequestOutput]:

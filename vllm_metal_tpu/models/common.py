@@ -47,9 +47,55 @@ def rope_frequencies(head_dim: int, theta: float,
             if "factor" in (rope_scaling or {}):
                 inv = inv / float(rope_scaling["factor"])
         elif typ == "yarn":
-            # plain NTK fallback for yarn configs (full yarn support later)
-            inv = inv / float(rope_scaling.get("factor", 1.0))
+            # full YaRN: per-frequency interpolation ramp.  High-frequency
+            # dims (short wavelengths, fully inside the original window)
+            # extrapolate unchanged; low-frequency dims interpolate
+            # (divide by factor); dims between beta_fast/beta_slow
+            # rotations blend linearly.
+            import math
+            factor = float(rope_scaling.get("factor", 1.0))
+            orig = float(rope_scaling.get(
+                "original_max_position_embeddings", 4096))
+            beta_fast = float(rope_scaling.get("beta_fast", 32.0))
+            beta_slow = float(rope_scaling.get("beta_slow", 1.0))
+
+            def corr_dim(n_rot: float) -> float:
+                return (head_dim * math.log(orig / (n_rot * 2 * math.pi))
+                        / (2 * math.log(theta)))
+
+            low = math.floor(corr_dim(beta_fast))
+            high = math.ceil(corr_dim(beta_slow))
+            low, high = max(low, 0), min(high, head_dim // 2 - 1)
+            dims = jnp.arange(head_dim // 2, dtype=jnp.float32)
+            ramp = jnp.clip((dims - low) / max(high - low, 1e-3), 0.0, 1.0)
+            extrapolation_mask = 1.0 - ramp
+            inv = (inv / factor) * (1 - extrapolation_mask) \
+                + inv * extrapolation_mask
     return inv
+
+
+def yarn_attention_factor(rope_scaling: Optional[dict]) -> float:
+    """Multiplier on the attention SCALE for YaRN-scaled models.
+
+    YaRN scales cos/sin by mscale = 0.1*ln(s)+1 on both q and k, which is
+    equivalent to multiplying the softmax scale by mscale**2 (the HF
+    ``attention_factor`` convention squared).
+    """
+    if not rope_scaling:
+        return 1.0
+    typ = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+    if typ != "yarn":
+        return 1.0
+    if rope_scaling.get("attention_factor") is not None:
+        return float(rope_scaling["attention_factor"]) ** 2
+    import math
+    s = float(rope_scaling.get("factor", 1.0))
+    mscale = float(rope_scaling.get("mscale", 1.0))
+    if mscale != 1.0:        # deepseek-yarn convention
+        m = 0.1 * mscale * math.log(s) + 1.0
+    else:
+        m = 0.1 * math.log(s) + 1.0 if s > 1.0 else 1.0
+    return m ** 2
 
 
 def apply_rope(x: jax.Array, positions: jax.Array,

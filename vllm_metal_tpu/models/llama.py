@@ -292,12 +292,14 @@ def dense_causal_attn(cfg: ModelConfig) -> AttnFn:
 
     def attn(layer_idx: int, q: jax.Array, k: jax.Array,
              v: jax.Array) -> jax.Array:
+        from .common import yarn_attention_factor
         t, hq, d = q.shape
         hk = k.shape[1]
         rep = hq // hk
         kx = jnp.repeat(k, rep, axis=1)
         vx = jnp.repeat(v, rep, axis=1)
-        scale = d ** -0.5
+        scale = cfg.extra.get("attn_scale", d ** -0.5) \
+            * yarn_attention_factor(cfg.rope_scaling)
         logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
                             kx.astype(jnp.float32)) * scale
         if cfg.attn_logit_softcap:

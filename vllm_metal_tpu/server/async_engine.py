@@ -67,6 +67,13 @@ class AsyncEngine:
                     self.loop.call_soon_threadsafe(fut.set_result, vec)
                 except Exception as e:
                     self.loop.call_soon_threadsafe(fut.set_exception, e)
+            elif kind == "classify":
+                ids, no_id, yes_id, fut = payload
+                try:
+                    score = self.engine.classify(ids, no_id, yes_id)
+                    self.loop.call_soon_threadsafe(fut.set_result, score)
+                except Exception as e:
+                    self.loop.call_soon_threadsafe(fut.set_exception, e)
 
     def _emit(self, rid: str, item) -> None:
         q = self._queues.get(rid)
@@ -138,5 +145,13 @@ class AsyncEngine:
         import asyncio
         fut = asyncio.get_running_loop().create_future()
         self._in.put(("embed", (prompt_ids, fut)))
+        self._wake.set()
+        return await fut
+
+    async def classify(self, prompt_ids: list[int], no_id: int,
+                       yes_id: int) -> float:
+        import asyncio
+        fut = asyncio.get_running_loop().create_future()
+        self._in.put(("classify", (prompt_ids, no_id, yes_id, fut)))
         self._wake.set()
         return await fut

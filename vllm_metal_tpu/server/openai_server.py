@@ -81,6 +81,8 @@ class OpenAIServer:
         app.router.add_get("/metrics", self.metrics)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
+        app.router.add_post("/v1/rerank", self.rerank)
+        app.router.add_post("/rerank", self.rerank)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/tokenize", self.tokenize)
         app.router.add_post("/detokenize", self.detokenize)
@@ -135,6 +137,65 @@ class OpenAIServer:
                 len(t) if isinstance(t, list) else len(self.tok.encode(t))
                 for t in inputs), "total_tokens": 0},
         })
+
+    def _yes_no_ids(self) -> Optional[tuple[int, int]]:
+        """(no_id, yes_id) resolved from the tokenizer, or None.
+
+        The reference gates classify pooling on the Qwen3-reranker
+        ('no', 'yes') single-token pair
+        (``/root/reference/vllm_metal/v1/pooling.py:20,208``)."""
+        ids = []
+        for tok in ("no", "yes"):
+            tid = None
+            conv = getattr(self.tok, "convert_tokens_to_ids", None)
+            if conv is not None:
+                t = conv(tok)
+                if isinstance(t, int) and t >= 0:
+                    tid = t
+            if tid is None:
+                enc = self.tok.encode(tok)
+                if isinstance(enc, list) and len(enc) == 1:
+                    tid = int(enc[0])
+            if tid is None or not 0 <= tid < self.vocab_size:
+                return None
+            ids.append(tid)
+        return ids[0], ids[1]
+
+    async def rerank(self, request: web.Request) -> web.Response:
+        """Cohere-style rerank: score each (query, document) pair with
+        the yes/no classify head."""
+        body = await request.json()
+        query = body.get("query", "")
+        documents = body.get("documents", [])
+        if not isinstance(documents, list) or not documents:
+            return web.json_response(
+                {"error": {"message": "documents must be a non-empty "
+                                      "list"}}, status=400)
+        pair = self._yes_no_ids()
+        if pair is None:
+            return web.json_response(
+                {"error": {"message": "tokenizer has no single-token "
+                                      "'no'/'yes' pair; classify head "
+                                      "unavailable"}}, status=400)
+        no_id, yes_id = pair
+        template = body.get(
+            "prompt_template",
+            "Judge whether the Document meets the requirements based on "
+            "the Query. Answer only \"yes\" or \"no\".\n"
+            "<Query>: {query}\n<Document>: {document}\nAnswer:")
+        results = []
+        for i, doc in enumerate(documents):
+            ids = self.tok.encode(
+                template.format(query=query, document=doc))
+            score = await self.engine.classify(ids, no_id, yes_id)
+            results.append({"index": i, "relevance_score": score})
+        results.sort(key=lambda r: -r["relevance_score"])
+        top_n = body.get("top_n")
+        if isinstance(top_n, int) and top_n > 0:
+            results = results[:top_n]
+        return web.json_response({
+            "model": self.model_name, "results": results,
+            "usage": {"total_tokens": 0}})
 
     async def tokenize(self, request: web.Request) -> web.Response:
         body = await request.json()
