@@ -228,3 +228,114 @@ def test_hybrid_engine_e2e():
     assert len(outs) == 2
     for o in outs.values():
         assert o.finished and len(o.token_ids) == 4
+
+
+# ---------------------------------------------------------------------------
+# Chunked (UT-transform) path vs the sequential-scan oracle
+# ---------------------------------------------------------------------------
+
+def _run_chunked(query_lens, chunk=8, t_pad=None, seed=0, carry_state=False):
+    """Build a packed varlen batch and run both GDN paths."""
+    from vllm_metal_tpu.ops.gdn import gdn_chunked_varlen
+    total = sum(query_lens)
+    if t_pad is None:
+        t_pad = -(-total // chunk) * chunk
+    s_pad = max(4, len(query_lens))
+    rng_seed = seed * 100
+
+    q = rand((t_pad, HK, DK), rng_seed, 0.5)
+    k = rand((t_pad, HK, DK), rng_seed + 1, 0.5)
+    v = rand((t_pad, HV, DV), rng_seed + 2)
+    g = 1 / (1 + np.exp(-rand((t_pad, HV), rng_seed + 3)))
+    b = 1 / (1 + np.exp(-rand((t_pad, HV), rng_seed + 4)))
+    states = (rand((s_pad, HV, DV, DK), rng_seed + 5, 0.3)
+              if carry_state else np.zeros((s_pad, HV, DV, DK), np.float32))
+
+    seq_ids = np.full((t_pad,), s_pad - 1, np.int32)
+    qsl = np.zeros((s_pad + 1,), np.int32)
+    t = 0
+    for i, ql in enumerate(query_lens):
+        seq_ids[t:t + ql] = i
+        t += ql
+        qsl[i + 1] = t
+    qsl[len(query_lens) + 1:] = t
+    valid = np.zeros((t_pad,), bool)
+    valid[:total] = True
+    slots = np.arange(s_pad, dtype=np.int32)
+
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+            jnp.asarray(b), jnp.asarray(states), jnp.asarray(seq_ids),
+            jnp.asarray(slots), jnp.asarray(valid))
+    y_ref, s_ref = gdn_recurrent_varlen(*args)
+    y_chk, s_chk = gdn_chunked_varlen(*args, jnp.asarray(qsl), chunk=chunk)
+    return (np.asarray(y_ref, np.float64)[:total],
+            np.asarray(s_ref, np.float64),
+            np.asarray(y_chk, np.float64)[:total],
+            np.asarray(s_chk, np.float64))
+
+
+@pytest.mark.parametrize("query_lens,chunk", [
+    ([12], 8),            # one seq spanning chunks (+ partial tail)
+    ([8], 8),             # exactly one chunk
+    ([3, 5, 7], 8),       # multiple segments, chunk boundaries inside
+    ([1, 1, 1, 1], 8),    # pure decode batch
+    ([2, 17, 1], 4),      # mixed decode + long prefill, small chunks
+], ids=["span", "exact", "multi", "decode", "mixed"])
+def test_chunked_matches_recurrent(query_lens, chunk):
+    y_ref, s_ref, y_chk, s_chk = _run_chunked(query_lens, chunk)
+    np.testing.assert_allclose(y_chk, y_ref, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(s_chk, s_ref, atol=2e-3, rtol=2e-3)
+
+
+def test_chunked_with_carried_state():
+    """Non-zero initial states (decode continuation) propagate exactly."""
+    y_ref, s_ref, y_chk, s_chk = _run_chunked([5, 9], chunk=8,
+                                              carry_state=True, seed=3)
+    np.testing.assert_allclose(y_chk, y_ref, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(s_chk, s_ref, atol=2e-3, rtol=2e-3)
+
+
+def test_chunked_untouched_slots_preserved():
+    y_ref, s_ref, y_chk, s_chk = _run_chunked([3], chunk=8,
+                                              carry_state=True, seed=5)
+    # slots 1..3 have no tokens: states must be bit-identical to input
+    np.testing.assert_allclose(s_chk[1:], s_ref[1:], atol=0, rtol=0)
+
+
+def test_hybrid_chunked_bucket_matches_small_bucket():
+    """A 128-token bucket (chunked GDN path in the model) must produce the
+    same logits as the 64-token bucket (sequential-scan path)."""
+    ecfg = EngineConfig(
+        model=CFG, cache=CacheConfig(block_size=16,
+                                     enable_prefix_caching=False),
+        scheduler=SchedulerConfig(max_num_seqs=4,
+                                  max_num_batched_tokens=128,
+                                  token_buckets=(64, 128)))
+    model = Qwen3NextModel(CFG)
+    weights = model.init_random(jax.random.PRNGKey(7), dtype=jnp.float32)
+    r_small = ModelRunner(model, weights, ecfg, num_blocks=32,
+                          use_pallas=False)
+    r_big = ModelRunner(model, weights, ecfg, num_blocks=32,
+                        use_pallas=False)
+    rng = np.random.default_rng(9)
+    gp = SamplingParams(temperature=0.0)
+    p1 = [int(x) for x in rng.integers(1, 63, 40)]
+    p2 = [int(x) for x in rng.integers(1, 63, 23)]
+    # 63 total tokens -> bucket 64 (scan path)
+    o_small = r_small.execute([
+        SeqStepInput(query_tokens=p1, context_len=40, block_table=[1, 2, 3],
+                     params=gp, state_slot=0, reset_state=True),
+        SeqStepInput(query_tokens=p2, context_len=23, block_table=[4, 5],
+                     params=gp, state_slot=1, reset_state=True)])
+    # same batch + a 3rd seq pushes it into the 128 bucket (chunked path)
+    p3 = [int(x) for x in rng.integers(1, 63, 30)]
+    o_big = r_big.execute([
+        SeqStepInput(query_tokens=p1, context_len=40, block_table=[1, 2, 3],
+                     params=gp, state_slot=0, reset_state=True),
+        SeqStepInput(query_tokens=p2, context_len=23, block_table=[4, 5],
+                     params=gp, state_slot=1, reset_state=True),
+        SeqStepInput(query_tokens=p3, context_len=30, block_table=[6, 7],
+                     params=gp, state_slot=2, reset_state=True)])
+    np.testing.assert_allclose(np.asarray(o_small.logits)[:2],
+                               np.asarray(o_big.logits)[:2],
+                               atol=0.02, rtol=0.02)

@@ -138,3 +138,126 @@ def gdn_recurrent_varlen(
           slots_of_token, valid)
     states, ys = jax.lax.scan(step, states, xs)
     return ys, states
+
+
+def gdn_chunked_varlen(
+    q: jax.Array,              # [T, Hk, Dk]  (normalized, scaled)
+    k: jax.Array,              # [T, Hk, Dk]
+    v: jax.Array,              # [T, Hv, Dv]
+    g: jax.Array,              # [T, Hv] decay
+    beta: jax.Array,           # [T, Hv]
+    states: jax.Array,         # [slots, Hv, Dv, Dk] f32
+    token_seq_ids: jax.Array,  # [T]
+    seq_slots: jax.Array,      # [S]
+    valid: jax.Array,          # [T] bool
+    query_start_loc: jax.Array,  # [S+1]
+    chunk: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """Chunked parallel delta rule (WY/UT transform) over the packed batch.
+
+    NOT the production path.  Measured on v5e (T=2048, Hv=32,
+    Dv=Dk=128): the plain token scan runs ~0.2ms because XLA keeps the
+    recurrent carry VMEM-resident across ``lax.scan`` iterations, while
+    this formulation's per-token state gathers stream the full state
+    from HBM every chunk (~350ms).  Kept as the tested chunkwise
+    reference (and the starting point for a Pallas kernel should a
+    shape regime appear where the scan's serialization dominates).
+
+    ``T/chunk`` sequential steps of MXU matmuls — the gated delta
+    recurrence within a chunk reduces to a unit-lower-triangular solve
+    for pseudo-values U:
+
+      (I + A) U = R,   A[t,i] = beta_t (b_t/b_i)(k_t.k_i)  (i < t, same seq)
+      R_t = beta_t (v_t - b_t S0 k_t),   b_t = prod in-chunk decay
+      y_t = b_t S0 q_t + sum_{i<=t} (b_t/b_i)(q_t.k_i) u_i
+      S_end = b_end S0 + sum_i (b_end/b_i) u_i k_i^T
+
+    (the math of the reference's sequential ``gdn_recurrent_*.metal``
+    kernels, re-derived for chunkwise execution).  Varlen packing is
+    handled by same-sequence masks and per-sequence in-chunk decay
+    resets; padding rows carry beta=0 / g=1 so they are inert.  Oracle:
+    :func:`gdn_recurrent_varlen`.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    t_pad, hk, dk = q.shape
+    hv, dv = v.shape[1], v.shape[2]
+    rep = hv // hk
+    assert t_pad % chunk == 0, (t_pad, chunk)
+    n_chunks = t_pad // chunk
+    slots_max = states.shape[0]
+
+    qx = jnp.repeat(q, rep, axis=1).astype(jnp.float32)
+    kx = jnp.repeat(k, rep, axis=1).astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = jnp.where(valid[:, None], g.astype(jnp.float32), 1.0)
+    bf = jnp.where(valid[:, None], beta.astype(jnp.float32), 0.0)
+    slots_of_token = seq_slots[token_seq_ids]
+    seg_start = query_start_loc[token_seq_ids]          # [T] global
+    seg_end = query_start_loc[
+        jnp.minimum(token_seq_ids + 1, query_start_loc.shape[0] - 1)]
+
+    def rs(x):
+        return x.reshape(n_chunks, chunk, *x.shape[1:])
+
+    xs = (rs(qx), rs(kx), rs(vf), rs(gf), rs(bf), rs(token_seq_ids),
+          rs(slots_of_token), rs(valid), rs(seg_start), rs(seg_end),
+          jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+
+    eye = jnp.eye(chunk, dtype=jnp.float32)
+    tril_strict = jnp.tril(jnp.ones((chunk, chunk), bool), -1)
+    tril_incl = jnp.tril(jnp.ones((chunk, chunk), bool))
+    rows = jnp.arange(chunk)
+
+    def body(states, inp):
+        (qc, kc, vc, gc, bc, segc, slotc, validc, sstart, send, c0) = inp
+        sc = jnp.clip(sstart - c0, 0, chunk - 1)         # in-chunk seg start
+        ec = jnp.clip(send - 1 - c0, 0, chunk - 1)       # in-chunk seg end
+        lg = jnp.log(jnp.maximum(gc, 1e-30))             # [C, Hv]
+        cs = jnp.cumsum(lg, axis=0)
+        lb = cs - (cs - lg)[sc]                          # [C, Hv]
+        eb = jnp.exp(lb)
+        same = segc[:, None] == segc[None, :]
+        causal = same & tril_incl
+        dl = lb[:, None, :] - lb[None, :, :]             # [C, C, Hv]
+        ratio = jnp.exp(jnp.where(causal[:, :, None], dl, 0.0))
+
+        kk = jnp.einsum("thk,ihk->tih", kc, kc)
+        A = jnp.where((same & tril_strict)[:, :, None],
+                      bc[:, None, :] * ratio * kk, 0.0)
+
+        st0 = states[slotc]                              # [C, Hv, Dv, Dk]
+        m0 = jnp.einsum("thdk,thk->thd", st0, kc)        # [C, Hv, Dv]
+        r = bc[..., None] * (vc - eb[..., None] * m0)
+
+        ah = jnp.moveaxis(A, -1, 0)                      # [Hv, C, C]
+        rh = jnp.moveaxis(r, 1, 0)                       # [Hv, C, Dv]
+        uh = solve_triangular(eye[None] + ah, rh, lower=True,
+                              unit_diagonal=True)
+        u = jnp.moveaxis(uh, 0, 1)                       # [C, Hv, Dv]
+
+        qk = jnp.einsum("thk,ihk->tih", qc, kc)
+        m = jnp.where(causal[:, :, None], ratio * qk, 0.0)
+        y = eb[..., None] * jnp.einsum("thdk,thk->thd", st0, qc) \
+            + jnp.einsum("tih,ihd->thd", m, u)
+
+        # end-of-chunk state per present slot
+        w = jnp.exp(lb[ec] - lb)                         # decay i -> seg end
+        w = jnp.where(validc[:, None], w, 0.0)
+        outer = (u * w[..., None])[:, :, :, None] * kc[:, :, None, :]
+        upd = jax.ops.segment_sum(
+            outer.reshape(chunk, -1), slotc,
+            num_segments=slots_max).reshape(states.shape)
+        end_row = (rows == ec) & validc                  # [C]
+        decay = jax.ops.segment_sum(
+            jnp.where(end_row[:, None], jnp.exp(lb), 0.0), slotc,
+            num_segments=slots_max)                      # [slots, Hv]
+        present = jax.ops.segment_sum(
+            end_row.astype(jnp.int32), slotc, num_segments=slots_max) > 0
+        new_states = jnp.where(
+            present[:, None, None, None],
+            decay[:, :, None, None] * states + upd, states)
+        return new_states, y.astype(v.dtype)
+
+    states, ys = jax.lax.scan(body, states, xs)
+    return ys.reshape(t_pad, hv, dv), states
