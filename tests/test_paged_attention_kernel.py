@@ -48,9 +48,8 @@ def setup_case(query_lens, context_lens, *, qh=4, kvh=2, d=128, bs=32,
 
 def run_both(q, k, v, md, **kw):
     want = paged_attention_ref(q, k[1], v[1], md, **kw)
-    # kernel input is the combined pool [L, NB, KH, 2bs, D]: K rows
-    # [0,bs), V rows [bs,2bs) of each (block, head)
-    kv = jnp.concatenate([k, v], axis=3).transpose(0, 2, 1, 3, 4)
+    # kernel input is the split pool [L, NB, 2, KH, bs, D]
+    kv = jnp.stack([k, v], axis=1).transpose(0, 3, 1, 2, 4, 5)
     got = paged_attention(q, kv, md, layer_idx=1, interpret=True, **kw)
     return got, want
 

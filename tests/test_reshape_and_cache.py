@@ -13,12 +13,12 @@ from vllm_metal_tpu.ops.reshape_and_cache import reshape_and_cache
 
 
 def scatter_oracle(kv, k_new, v_new, slots, layer, bs):
-    out = np.array(kv)   # [L, NB, KH, 2bs, D]
+    out = np.array(kv)   # [L, NB, 2, KH, bs, D]
     for i, s in enumerate(np.array(slots)):
         if s < 0:
             continue
-        out[layer, s // bs, :, s % bs] = k_new[i]
-        out[layer, s // bs, :, bs + s % bs] = v_new[i]
+        out[layer, s // bs, 0, :, s % bs] = k_new[i]
+        out[layer, s // bs, 1, :, s % bs] = v_new[i]
     return out
 
 
@@ -32,7 +32,7 @@ def scatter_oracle(kv, k_new, v_new, slots, layer, bs):
 def test_rac_matches_scatter(slots):
     rng = np.random.default_rng(len(slots))
     L, KH, NB, BS, D = 2, 2, 5, 16, 128
-    kv = jnp.asarray(rng.standard_normal((L, NB, KH, 2 * BS, D)),
+    kv = jnp.asarray(rng.standard_normal((L, NB, 2, KH, BS, D)),
                      jnp.float32)
     t = len(slots)
     t_pad = -(-t // 8) * 8

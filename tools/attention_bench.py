@@ -39,7 +39,7 @@ def bench_case(name, query_lens, context_lens, qh, kvh, d, bs, iters=30):
         seq_pad=max(64, len(query_lens)),
         max_blocks_per_seq=max(len(t) for t in tables) + 1)
     key = jax.random.PRNGKey(0)
-    kc = jax.random.normal(key, (2, nxt + 1, kvh, 2 * bs, d), jnp.bfloat16)
+    kc = jax.random.normal(key, (2, nxt + 1, 2, kvh, bs, d), jnp.bfloat16)
     q = jax.random.normal(key, (token_pad, qh, d), jnp.bfloat16)
 
     fn = jax.jit(lambda q, kv: paged_attention(q, kv, md, 1))

@@ -48,7 +48,7 @@ def main():
                         seq_pad=max(64, b), max_blocks_per_seq=
                         max(len(t) for t in tables) + 1)
     key = jax.random.PRNGKey(0)
-    kc = jax.random.normal(key, (2, nxt + 1, args.kvh, 2 * bs, args.d),
+    kc = jax.random.normal(key, (2, nxt + 1, 2, args.kvh, bs, args.d),
                            jnp.bfloat16)
     q0 = jax.random.normal(key, (tp, args.qh, args.d), jnp.bfloat16)
 

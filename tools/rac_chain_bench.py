@@ -35,7 +35,7 @@ def main():
 
     t, kvh, d, bs = args.tokens, args.kvh, args.d, args.bs
     key = jax.random.PRNGKey(0)
-    pool = jnp.zeros((args.layers, args.blocks, kvh, 2 * bs, d),
+    pool = jnp.zeros((args.layers, args.blocks, 2, kvh, bs, d),
                      jnp.bfloat16)
     k = jax.random.normal(key, (t, kvh, d), jnp.bfloat16)
     v = jax.random.normal(key, (t, kvh, d), jnp.bfloat16)

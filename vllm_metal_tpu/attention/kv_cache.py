@@ -3,16 +3,16 @@
 
 TPU-native analogue of ``MetalPagedKVCache``
 (``/root/reference/vllm_metal/attention/caches/kv_cache.py:35``).  Layout is
-``[layers, num_blocks, kv_heads, 2*block_size, head_dim]`` with K in rows
-``[0, bs)`` and V in rows ``[bs, 2bs)`` of each (block, head): one physical
-block holds K AND V for ALL kv heads contiguously, so the attention kernel
-fetches a block with ONE ~256KB DMA descriptor.  Decode attention is bound
-by the DMA engine's per-descriptor throughput, not HBM bandwidth — fewer,
-larger descriptors is the whole game (measured 61 GB/s with per-head 32KB
-descriptors vs the ~600 GB/s XLA reaches with big weight tiles).  Tensor
-parallelism shards dim 2 (kv_heads) with a single PartitionSpec.  Updates
-are functional; jit donation makes them in-place in HBM (the reference gets
-the same effect from MLX primitive aliasing, ``paged_ops.cpp:846``).
+``[layers, num_blocks, 2, kv_heads, block_size, head_dim]`` — dim 2 splits
+K (0) and V (1), so one block's K (or V) for ALL kv heads is one
+contiguous ~128KB region and the attention kernel can land block arrivals
+at row offsets of per-head-contiguous K/V tiles (strided-dst DMA sustains
+~450 GB/s, measured v5e) and run ONE wide QK/PV dot per kv tile instead
+of per-block dot pairs (whose MXU-issue overhead capped decode at
+~55 GB/s).  Tensor parallelism shards dim 3 (kv_heads) with a single
+PartitionSpec.  Updates are functional; jit donation makes them in-place
+in HBM (the reference gets the same effect from MLX primitive aliasing,
+``paged_ops.cpp:846``).
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ from ..utils import static_dataclass
 
 @static_dataclass(meta_fields=("block_size",))
 class PagedKVCache:
-    """kv: [L, num_blocks, kv_heads, 2*block_size, head_dim]."""
+    """kv: [L, num_blocks, 2 (K|V), kv_heads, block_size, head_dim]."""
 
     kv: jax.Array
     block_size: int = 16
@@ -37,7 +37,7 @@ class PagedKVCache:
 
     @property
     def num_kv_heads(self) -> int:
-        return self.kv.shape[2]
+        return self.kv.shape[3]
 
     @property
     def num_blocks(self) -> int:
@@ -45,24 +45,24 @@ class PagedKVCache:
 
     @property
     def head_dim(self) -> int:
-        return self.kv.shape[4]
+        return self.kv.shape[5]
 
     @property
     def k(self) -> jax.Array:
         """K view [L, KH, NB, bs, D] (reference-path layout; lazy under
         jit — prefer indexing ``kv`` directly inside kernels)."""
-        return jnp.swapaxes(self.kv[:, :, :, : self.block_size], 1, 2)
+        return jnp.swapaxes(self.kv[:, :, 0], 1, 2)
 
     @property
     def v(self) -> jax.Array:
-        return jnp.swapaxes(self.kv[:, :, :, self.block_size:], 1, 2)
+        return jnp.swapaxes(self.kv[:, :, 1], 1, 2)
 
     @classmethod
     def allocate(cls, model_cfg: ModelConfig, cache_cfg: CacheConfig,
                  num_blocks: int, dtype=jnp.bfloat16) -> "PagedKVCache":
         # YOCO: only the leading num_cached_layers own pool storage
-        shape = (model_cfg.num_cached_layers, num_blocks,
-                 model_cfg.num_kv_heads, 2 * cache_cfg.block_size,
+        shape = (model_cfg.num_cached_layers, num_blocks, 2,
+                 model_cfg.num_kv_heads, cache_cfg.block_size,
                  model_cfg.head_dim)
         return cls(kv=jnp.zeros(shape, dtype),
                    block_size=cache_cfg.block_size)
@@ -89,12 +89,12 @@ class PagedKVCache:
         bs = self.block_size
         blk = jnp.where(slot_mapping < 0, -1, slot_mapping // bs)
         row = slot_mapping % bs
-        kv = self.kv.at[layer_idx, blk, :, row].set(
+        kv = self.kv.at[layer_idx, blk, 0, :, row].set(
             k.astype(self.kv.dtype), mode="drop")
-        kv = kv.at[layer_idx, blk, :, bs + row].set(
+        kv = kv.at[layer_idx, blk, 1, :, row].set(
             v.astype(self.kv.dtype), mode="drop")
         return PagedKVCache(kv=kv, block_size=self.block_size)
 
     def bytes_per_block(self) -> int:
-        l, nb, kh, bs2, d = self.kv.shape
-        return l * kh * bs2 * d * self.kv.dtype.itemsize
+        l, nb, two, kh, bs, d = self.kv.shape
+        return l * two * kh * bs * d * self.kv.dtype.itemsize

@@ -141,6 +141,11 @@ class ModelRunner:
         self.cache = cache
         self.max_blocks_per_seq = max(
             1, cfg.model.max_model_len // cfg.cache.block_size)
+        # distinct per-layer sliding windows: the metadata builder emits
+        # one kernel work list per window (tile skip for windowed layers)
+        self._windows = tuple(dict.fromkeys(
+            [None] + [cfg.model.layer_sliding_window(i)
+                      for i in range(cfg.model.num_layers)]))
         self.spec_window = cfg.spec.num_speculative_tokens \
             if cfg.spec.method else 0
         # VL models take the mm step variant (M-RoPE positions + splice)
@@ -323,6 +328,8 @@ class ModelRunner:
             max_blocks_per_seq=self.max_blocks_per_seq,
             state_slots=[s.state_slot if s.state_slot >= 0 else i
                          for i, s in enumerate(seqs)],
+            sliding_windows=self._windows,
+            work_context_slack=n_steps - 1,
         )
         tokens = np.zeros((s_pad,), np.int32)
         ctx = np.zeros((s_pad,), np.int32)
@@ -401,6 +408,7 @@ class ModelRunner:
             seq_pad=s_pad,
             max_blocks_per_seq=self.max_blocks_per_seq,
             state_slots=state_slots,
+            sliding_windows=self._windows,
         )
         reset = [st for s, st in zip(seqs, state_slots) if s.reset_state]
         if reset and hasattr(self.cache, "reset_slots"):

@@ -11,12 +11,13 @@ Design (ragged q tiles): the packed varlen token dim is cut into aligned
 Mosaic; no dynamic-offset DMAs).  A tile may span several sequences — the
 kernel walks their (sequence, kv-tile) pairs with ONE software-pipelined
 loop backed by an NBUF-deep DMA ring, so KV prefetch depth spans sequence
-boundaries.  Every grid step processes ALL kv heads: the pool layout
-``[L, NB, KH, 2bs, D]`` packs K+V for all heads of a block contiguously,
-so one ~256KB descriptor fetches a whole block — decode attention is bound
-by DMA-engine per-descriptor throughput, NOT HBM bandwidth (measured:
-32KB/head descriptors sustain ~60 GB/s regardless of ring depth, block
-size, or compute intensity; XLA's big-tile weight streams reach ~600 GB/s).
+boundaries.  Every grid step processes ALL kv heads.  Each cache block's
+K (and V) for all heads is one contiguous descriptor landed at the
+block's ROW OFFSET of per-head-contiguous kv-tile buffers (strided-dst
+DMA sustains ~450 GB/s, measured v5e), so the compute loop runs ONE wide
+batched QK dot and ONE PV dot per kv tile — the previous per-block dot
+pairs were MXU-issue-bound at ~2.3us per cache block (~55 GB/s decode)
+regardless of block size, tile size, or ring depth.
 Row masking confines the online-softmax update to each sequence's rows, so
 the m/l/acc state of one physical tile is shared conflict-free by all its
 sequences: a row's pre-first-touch garbage accumulation is annihilated by
@@ -29,8 +30,8 @@ Sliding window skips invisible leading KV tiles.  Semantics oracle:
 
 Layouts:
   q:        [T, q_heads, head_dim] -> internally [kvh, G, T', head_dim]
-  kv_cache: [L, num_blocks, kv_heads, 2*block_size, head_dim] — K in rows
-            [0, bs), V in rows [bs, 2bs) of each (block, head).
+  kv_cache: [L, num_blocks, 2, kv_heads, block_size, head_dim] — dim 2
+            splits K (0) and V (1).
 """
 
 from __future__ import annotations
@@ -59,7 +60,7 @@ def _vmem_bytes(hc: int, g: int, bq: int, d: int, bs: int,
                 kv_tile: int) -> int:
     gbq = g * bq
     return (2 * 2 * (hc * gbq * d * 2)            # q + out, double-buffered
-            + NBUF * (kv_tile // bs) * hc * 2 * bs * d * 2   # kv ring
+            + NBUF * 2 * hc * kv_tile * d * 2     # k + v tile rings
             + hc * gbq * d * 4                    # acc
             + 2 * hc * gbq * 128 * 4              # m, l
             + hc * gbq * kv_tile * 4)             # scores
@@ -67,13 +68,13 @@ def _vmem_bytes(hc: int, g: int, bq: int, d: int, bs: int,
 
 def _kernel(
     # scalar prefetch
-    layer, qsl, ctx, tile_first_seq, block_tables,
+    layer, qsl, ctx, work_items, work_start, block_tables,
     # inputs (q/out blocked by Mosaic; cache stays in HBM)
     q_blk, kv_hbm, sinks_smem,
     # outputs
     o_blk,
     # scratch
-    kvbuf, acc, m_s, l_s, s_scr, kvsem,
+    kbuf, vbuf, acc, m_s, l_s, kvsem,
     *,
     bq: int, bs: int, hc: int, g: int, d: int, scale: float, kv_tile: int,
     sliding_window: Optional[int], logit_softcap: Optional[float],
@@ -102,19 +103,22 @@ def _kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (gbq, KV_TILE), 1)
 
     li = layer[0]
-    nbuf = kvbuf.shape[0]
+    nbuf = kbuf.shape[0]
 
     def tile_dma(seq, tile, slot):
-        # ONE descriptor per cache block moves K AND V for hc kv heads (a
-        # leading-dim slice of the block's [KH, 2bs, D] body is contiguous)
+        # per cache block: one contiguous ~hc*bs*d*2B descriptor for K and
+        # one for V, landed at the block's row offset of per-head
+        # CONTIGUOUS kv-tile buffers (strided dst sustains ~450 GB/s) —
+        # so compute below runs ONE wide dot per tile, not per block
         copies = []
         for ci in range(c):
             blk_idx = jnp.minimum(tile * c + ci, mb - 1)
             blk = block_tables[seq, blk_idx]
-            copies.append(pltpu.make_async_copy(
-                kv_hbm.at[li, blk, pl.ds(hi0 * hc, hc)],
-                kvbuf.at[slot, ci],
-                kvsem.at[slot, ci]))
+            for kv_i, buf in ((0, kbuf), (1, vbuf)):
+                copies.append(pltpu.make_async_copy(
+                    kv_hbm.at[li, blk, kv_i, pl.ds(hi0 * hc, hc)],
+                    buf.at[slot, :, pl.ds(ci * bs, bs)],
+                    kvsem.at[slot, ci, kv_i]))
         return copies
 
     def start_kv(seq, tile, slot):
@@ -125,75 +129,46 @@ def _kernel(
         for cp in tile_dma(seq, tile, slot):
             cp.wait()
 
-    # ---- (sequence, kv-tile) cursor arithmetic (scalar, SMEM reads) ----
-    def seq_params(seq):
-        """(q_lo, q_hi, pos_row0, start_tile, n_tiles) for a valid seq."""
-        seq1 = jnp.minimum(seq + 1, s_max)
-        q_lo = jnp.maximum(qsl[seq], row0) - row0        # tile-local
-        q_hi = jnp.minimum(qsl[seq1], row_end) - row0
-        ql_seq = qsl[seq1] - qsl[seq]
-        # absolute position of tile row r (valid only inside [q_lo, q_hi))
-        pos_row0 = ctx[jnp.minimum(seq, s_max - 1)] - ql_seq \
-            + (row0 - qsl[seq])
-        kv_limit = pos_row0 + q_hi                       # last row's pos + 1
-        n_tiles = pl.cdiv(kv_limit, KV_TILE)
-        if sliding_window is not None:
-            first_pos = jnp.maximum(pos_row0 + q_lo - sliding_window + 1, 0)
-            start_tile = first_pos // KV_TILE
-        else:
-            start_tile = jnp.int32(0)
-        return q_lo, q_hi, pos_row0, start_tile, n_tiles
+    # ---- host-precomputed work list ----
+    # The (seq, kv-tile) visit order was computed on the host
+    # (metadata._build_work_lists) and arrives as packed SMEM scalars:
+    # the former on-device cursor walk (branch-free advance + per-seq
+    # param recomputation) cost ~9.5us of scalar-core time PER VISIT —
+    # more than the visit's 512KB KV DMA at full bandwidth.
+    def unpack(w):
+        packed = work_items[w]
+        return packed >> 16, packed & 0xFFFF
 
-    # Cursor advance is BRANCH-FREE scalar arithmetic: every lax.cond /
-    # while_loop in the hot loop costs ~1us of Mosaic control overhead
-    # (measured: per-iteration cost is invariant to data volume, descriptor
-    # count, and matmul count — control flow dominates).  Correctness
-    # contract: zero-query sequences only appear at the batch tail (the
-    # scheduler/metadata builder guarantee), so "next seq" is always s+1.
-    def seq_has_work(s):
-        s1 = jnp.minimum(s + 1, s_max)
-        return (s < s_max) & (qsl[s] < row_end) \
-            & (qsl[s1] > jnp.maximum(qsl[s], row0))
+    w0 = work_start[ti]
+    w1 = work_start[ti + 1]
 
-    def advance(s, t, v, n_t):
-        """(s, t, v) -> successor work item, given n_tiles(s)."""
-        wrap = t + 1 >= n_t
-        s2 = s + wrap.astype(jnp.int32)
-        t2 = jnp.where(wrap, seq_params(s2)[3], t + 1)
-        v2 = v & (~wrap | seq_has_work(s2))
-        return s2, t2, v2
-
-    def issue_and_advance(slot, s, t, v):
-        @pl.when(v)
+    def issue(w, slot):
+        @pl.when(w < w1)
         def _():
-            start_kv(s, t, slot)
-        return advance(s, t, v, seq_params(s)[4])
+            seq, tile = unpack(w)
+            start_kv(seq, tile, slot)
 
-    s0 = tile_first_seq[ti * (bq // 8)]
-    v0 = seq_has_work(s0)
-    t0 = jnp.where(v0, seq_params(s0)[3], 0)
-
-    # fill the DMA ring: prefetch cursor runs nbuf items ahead of compute
-    ps, pt, pv = s0, t0, v0
     for i in range(nbuf):
-        ps, pt, pv = issue_and_advance(i, ps, pt, pv)
+        issue(w0 + i, i)
 
     qv = q_blk[...].reshape(hc, gbq, d)                  # stacked heads
 
-    def loop_body(carry):
-        slot, cs, ct, cv, ps, pt, pv = carry
-        q_lo, q_hi, pos_row0, _, _ = seq_params(cs)
+    def loop_body(w, slot):
+        seq, tile = unpack(w)
+        ct = tile
+        seq1 = jnp.minimum(seq + 1, s_max)
+        q_lo = jnp.maximum(qsl[seq], row0) - row0        # tile-local
+        q_hi = jnp.minimum(qsl[seq1], row_end) - row0
+        pos_row0 = ctx[seq] - (qsl[seq1] - qsl[seq]) + (row0 - qsl[seq])
         row_pos = pos_row0 + rows
         row_in = (rows >= q_lo) & (rows < q_hi)
 
-        wait_kv(cs, ct, slot)
-        # per-block batched QK dots straight out of the DMA buffer
-        for ci in range(c):
-            s_scr[:, :, ci * bs:(ci + 1) * bs] = jax.lax.dot_general(
-                qv, kvbuf[slot, ci, :, :bs],
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)      # [hc, gbq, bs]
-        s = s_scr[...] * scale                           # [hc, gbq, KV_TILE]
+        wait_kv(seq, tile, slot)
+        # ONE wide batched QK dot over the whole kv tile
+        s = jax.lax.dot_general(
+            qv, kbuf[slot],
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [hc, gbq, KV_TILE]
         kv_pos = ct * KV_TILE + cols
         mask = row_in & (kv_pos <= row_pos)
         if sliding_window is not None:
@@ -213,22 +188,16 @@ def _kernel(
         m_s[...] = jnp.broadcast_to(m_new, (hc, gbq, 128))
         l_s[...] = jnp.broadcast_to(l_new, (hc, gbq, 128))
 
-        for ci in range(c):
-            new_acc = new_acc + jax.lax.dot_general(
-                p[:, :, ci * bs:(ci + 1) * bs], kvbuf[slot, ci, :, bs:],
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)      # [hc, gbq, d]
-        acc[...] = new_acc
+        acc[...] = new_acc + jax.lax.dot_general(
+            p, vbuf[slot],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [hc, gbq, d]
 
         # the slot is consumed — reuse it for the next prefetch
-        ps, pt, pv = issue_and_advance(slot, ps, pt, pv)
-        cs, ct, cv = advance(cs, ct, cv, seq_params(cs)[4])
-        slot = jnp.where(slot + 1 == nbuf, 0, slot + 1)
-        return slot, cs, ct, cv, ps, pt, pv
+        issue(w + nbuf, slot)
+        return jnp.where(slot + 1 == nbuf, 0, slot + 1)
 
-    jax.lax.while_loop(
-        lambda carry: carry[3], loop_body,
-        (jnp.int32(0), s0, t0, v0, ps, pt, pv))
+    jax.lax.fori_loop(w0, w1, loop_body, jnp.int32(0))
 
     if has_sinks:
         for h in range(hc):
@@ -250,12 +219,13 @@ def _kernel(
                      "interpret"))
 def _paged_attention_call(
     q_t: jax.Array,            # [kvh, G, T', d] bf16 (T' multiple of bq)
-    kv_cache: jax.Array,       # [L, nb, kvh, 2*bs, d] (stacked layer pools)
+    kv_cache: jax.Array,       # [L, nb, 2, kvh, bs, d] (stacked layer pools)
     sinks: Optional[jax.Array],         # [qh] f32 or None
     layer: jax.Array,          # [1] layer index into the stacked pools
     qsl: jax.Array,            # [S+1] query_start_loc
     ctx: jax.Array,            # [S] context lens
-    tile_first_seq: jax.Array,  # [T'/bq]
+    work_items: jax.Array,     # [W_pad] packed seq<<16|tile visit list
+    work_start: jax.Array,     # [n_tiles + 1]
     block_tables: jax.Array,   # [S, MB]
     *,
     scale: float,
@@ -265,8 +235,7 @@ def _paged_attention_call(
     interpret: bool,
 ) -> jax.Array:
     kvh, g, t2, d = q_t.shape
-    _, nb, _, bs2, _ = kv_cache.shape
-    bs = bs2 // 2
+    _, nb, _, _, bs, _ = kv_cache.shape
     kv_tile = max(KV_TILE, bs)        # one-descriptor tiles for large blocks
     assert kv_tile % bs == 0, (kv_tile, bs)
     assert t2 % bq == 0
@@ -292,8 +261,10 @@ def _paged_attention_call(
         kv_tile=kv_tile, sliding_window=sliding_window,
         logit_softcap=logit_softcap, has_sinks=has_sinks)
 
+    assert work_start.shape[0] == n_tiles + 1, \
+        "metadata work list was built for a different q tiling"
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(kvh // hc, n_tiles),
         in_specs=[
             pl.BlockSpec((hc, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
@@ -304,12 +275,12 @@ def _paged_attention_call(
         out_specs=pl.BlockSpec((hc, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, c, hc, 2 * bs, d), jnp.bfloat16),  # kv ring
+            pltpu.VMEM((NBUF, hc, kv_tile, d), kv_cache.dtype),  # k ring
+            pltpu.VMEM((NBUF, hc, kv_tile, d), kv_cache.dtype),  # v ring
             pltpu.VMEM((hc, g * bq, d), jnp.float32),     # acc
             pltpu.VMEM((hc, g * bq, 128), jnp.float32),   # m
             pltpu.VMEM((hc, g * bq, 128), jnp.float32),   # l
-            pltpu.VMEM((hc, g * bq, kv_tile), jnp.float32),  # scores
-            pltpu.SemaphoreType.DMA((NBUF, c)),            # kvsem
+            pltpu.SemaphoreType.DMA((NBUF, c, 2)),         # kvsem
         ],
     )
 
@@ -318,13 +289,13 @@ def _paged_attention_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kvh, g, t2, d), q_t.dtype),
         interpret=interpret,
-    )(layer, qsl, ctx, tile_first_seq, block_tables,
+    )(layer, qsl, ctx, work_items, work_start, block_tables,
       q_t, kv_cache, sinks_arr)
 
 
 def paged_attention(
     q: jax.Array,              # [T, qh, d]
-    kv_cache: jax.Array,       # [L, nb, kvh, 2*bs, d] stacked combined pools
+    kv_cache: jax.Array,       # [L, nb, 2, kvh, bs, d] stacked split pools
     md,                        # AttentionMetadata
     layer_idx=0,               # int or traced scalar
     *,
@@ -336,7 +307,7 @@ def paged_attention(
     bq: Optional[int] = None,
 ) -> jax.Array:
     t, qh, d = q.shape
-    kvh = kv_cache.shape[2]
+    kvh = kv_cache.shape[3]
     g = qh // kvh
     if scale is None:
         scale = d ** -0.5
@@ -350,11 +321,17 @@ def paged_attention(
     qp = jnp.pad(q, ((0, t2 - t), (0, 0), (0, 0))) if t2 != t else q
     q_t = qp.reshape(t2, kvh, g, d).transpose(1, 2, 0, 3)
 
+    # pick the host-built work list for this layer's window (a window
+    # without its own list falls back to the full list — in-kernel masks
+    # keep it correct, just without the tile-skip)
+    windows = getattr(md, "work_windows", (None,))
+    widx = windows.index(sliding_window) if sliding_window in windows \
+        else windows.index(None)
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     out_t = _paged_attention_call(
         q_t.astype(jnp.bfloat16), kv_cache, sinks, layer,
-        md.query_start_loc, md.context_lens, md.tile_first_seq,
-        md.block_tables,
+        md.query_start_loc, md.context_lens, md.work_items[widx],
+        md.work_start[widx], md.block_tables,
         scale=float(scale), sliding_window=sliding_window,
         logit_softcap=logit_softcap, bq=bq, interpret=interpret)
 

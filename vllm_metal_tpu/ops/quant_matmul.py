@@ -241,7 +241,10 @@ def _group_kernel(idx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref, w_ref,
             q = pltpu.bitcast(q, jnp.int8) if q.dtype == jnp.uint8 else q
             pet = jnp.int32
         else:
-            # Mosaic has no direct {u8,s8}->bf16 cast; route via i32/f32
+            # Mosaic has no direct {u8,s8}->bf16 cast; route via i32/f32.
+            # (A bitcast trick — 0x4300|v is bf16(128+v) exactly, shift
+            # folded into the bias dot — measured 1.8x SLOWER than this
+            # cast chain on v5e; the u8->u16 relayout is the cost.)
             q = q.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
             pet = jnp.float32
         x = xr[:]

@@ -86,8 +86,8 @@ def weight_pspecs(weights: Any) -> Any:
 
 
 def cache_pspec() -> P:
-    # [L, num_blocks, kv_heads, 2*block_size, head_dim]
-    return P(None, None, "model", None, None)
+    # [L, num_blocks, 2 (K|V), kv_heads, block_size, head_dim]
+    return P(None, None, None, "model", None, None)
 
 
 def shard_weights(weights: Any, mesh: Mesh) -> Any:

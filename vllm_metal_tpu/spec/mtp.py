@@ -111,10 +111,9 @@ class MTPProposer:
             t_pad = md.positions.shape[0]
             q = jnp.pad(q1, ((0, t_pad - 1), (0, 0), (0, 0)))
             layer = cfg.num_layers - 1
-            # combined pool [L, NB, KH, 2bs, D] -> ref layout [KH, NB, *, D]
-            bs = kv_cache.shape[3] // 2
-            kc = jnp.swapaxes(kv_cache[layer, :, :, :bs], 0, 1)
-            vc = jnp.swapaxes(kv_cache[layer, :, :, bs:], 0, 1)
+            # split pool [L, NB, 2, KH, bs, D] -> ref layout [KH, NB, *, D]
+            kc = jnp.swapaxes(kv_cache[layer, :, 0], 0, 1)
+            vc = jnp.swapaxes(kv_cache[layer, :, 1], 0, 1)
             out = paged_attention_ref(
                 q, kc, vc, md, scale=cfg.head_dim ** -0.5)[:1]
             x = x + linear(out.reshape(1, -1), head.wo)
