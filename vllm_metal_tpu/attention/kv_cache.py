@@ -68,7 +68,7 @@ class PagedKVCache:
                    block_size=cache_cfg.block_size)
 
     def write(self, layer_idx, k: jax.Array, v: jax.Array,
-              slot_mapping: jax.Array) -> "PagedKVCache":
+              slot_mapping: jax.Array, num_tokens=None) -> "PagedKVCache":
         """Scatter new K/V rows ([T, kv_heads, head_dim]) into the pool.
 
         ``layer_idx`` may be a Python int or a traced scalar (layer-scan
@@ -84,7 +84,8 @@ class PagedKVCache:
             # guaranteed in-place via the aliased Pallas write
             from ..ops.reshape_and_cache import reshape_and_cache
             nkv = reshape_and_cache(self.kv, k, v, slot_mapping, layer_idx,
-                                    block_size=self.block_size)
+                                    block_size=self.block_size,
+                                    num_tokens=num_tokens)
             return PagedKVCache(kv=nkv, block_size=self.block_size)
         bs = self.block_size
         blk = jnp.where(slot_mapping < 0, -1, slot_mapping // bs)

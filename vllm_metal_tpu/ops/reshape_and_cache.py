@@ -32,7 +32,7 @@ _ALIGN = 8
 _ROW_RING = 8
 
 
-def _rac_rows_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
+def _rac_rows_kernel(layer_ref, slots_ref, ntok_ref, k_new, v_new, kv_in,
                      kv_out, stage, lsem, ssem, *, t_pad: int, bs: int):
     """Decode-path write: wave-parallel pair RMW.
 
@@ -52,6 +52,7 @@ def _rac_rows_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
     different groups never alias.
     """
     li = layer_ref[0]
+    n_tok = jnp.minimum(ntok_ref[0], t_pad)   # pads never iterate
     _GRP = 8   # sublane DMA granularity
 
     def group_of(i):
@@ -89,7 +90,7 @@ def _rac_rows_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
                 cp.start()
         return lastg
 
-    jax.lax.fori_loop(0, t_pad, issue_loads, jnp.int32(-1))
+    jax.lax.fori_loop(0, n_tok, issue_loads, jnp.int32(-1))
 
     # wave 2: blend each token's row into its group's staging tile; a
     # group's store is issued when the next group begins (and at the end)
@@ -119,7 +120,7 @@ def _rac_rows_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
             stage[g, 1] = jnp.where(sel, v_new[i][:, None, :], stage[g, 1])
         return g, lastg
 
-    g, _ = jax.lax.fori_loop(0, t_pad, blend,
+    g, _ = jax.lax.fori_loop(0, n_tok, blend,
                              (jnp.int32(-1), jnp.int32(-1)))
 
     @pl.when(g >= 0)
@@ -137,12 +138,13 @@ def _rac_rows_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
                 cp.wait()
         return lastg
 
-    jax.lax.fori_loop(0, t_pad, drain, jnp.int32(-1))
+    jax.lax.fori_loop(0, n_tok, drain, jnp.int32(-1))
 
 
-def _rac_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
+def _rac_kernel(layer_ref, slots_ref, ntok_ref, k_new, v_new, kv_in,
                 kv_out, kbuf, vbuf, sems, *, t_pad: int, bs: int):
     li = layer_ref[0]
+    n_tok = jnp.minimum(ntok_ref[0], t_pad)
 
     def flush(blk, base):
         base = pl.multiple_of(base, _ALIGN)
@@ -198,7 +200,7 @@ def _rac_kernel(layer_ref, slots_ref, k_new, v_new, kv_in,
         return cur_blk, cur_base, dirty
 
     cur_blk, cur_base, dirty = jax.lax.fori_loop(
-        0, t_pad, body, (jnp.int32(-1), jnp.int32(0), jnp.int32(0)),
+        0, n_tok, body, (jnp.int32(-1), jnp.int32(0), jnp.int32(0)),
         unroll=False)
 
     @pl.when(dirty == 1)
@@ -216,12 +218,15 @@ def reshape_and_cache(
     layer_idx,                 # int or traced scalar
     block_size: int = 0,
     interpret: bool = False,
+    num_tokens=None,           # real token count (pads skip entirely)
 ) -> jax.Array:
     l, nb, two, kh, bs_pool, d = kv_cache.shape
     bs = block_size or bs_pool
     assert bs == bs_pool and two == 2 and bs % _ALIGN == 0
     t_pad = k_new.shape[0]
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    ntok = jnp.asarray(t_pad if num_tokens is None else num_tokens,
+                       jnp.int32).reshape(1)
 
     k_new = k_new.astype(kv_cache.dtype)
     v_new = v_new.astype(kv_cache.dtype)
@@ -244,7 +249,7 @@ def reshape_and_cache(
             pltpu.SemaphoreType.DMA((4,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # k_new
@@ -258,9 +263,9 @@ def reshape_and_cache(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
-        # args: (layer, slots, k_new, v_new, pool)
-        input_output_aliases={4: 0},
+        # args: (layer, slots, ntok, k_new, v_new, pool)
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(layer, slot_mapping, k_new, v_new, pool)
+    )(layer, slot_mapping, ntok, k_new, v_new, pool)
     return unview(out) if unview is not None else out
