@@ -240,7 +240,13 @@ def main():
     bs = cfg.cache.block_size
     blocks_needed = args.batch * -(-(args.ctx + args.steps + 2) // bs) + 2
     blocks_needed = -(-blocks_needed // 128) * 128  # stable compile shapes
+    # fuse + stack with rebinding so each intermediate tree frees before
+    # the next allocates (originals + fused + stacked all live at once
+    # would exceed HBM at 8B scale); the runner then skips both steps
+    weights = model.fuse_projections(weights)
+    weights = model.stack_layers(weights)
     runner = ModelRunner(model, weights, cfg, num_blocks=blocks_needed)
+    del weights
     kv_token_bytes = 2 * mc.num_layers * mc.num_kv_heads * mc.head_dim * 2
     log(f"kv pool: {blocks_needed} blocks "
         f"({blocks_needed * bs * kv_token_bytes / 1e9:.2f} GB)")

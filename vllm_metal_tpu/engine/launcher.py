@@ -119,9 +119,16 @@ def build_engine(model_path: str,
                       * -(-mcfg.max_model_len // block_size)) + 1
         num_blocks = min(num_blocks, max_useful)
 
+    if mesh is None and hasattr(model, "fuse_projections") \
+            and isinstance(getattr(weights, "layers", None), list):
+        # fuse here with rebinding so the split originals free before
+        # the runner allocates the KV pool (peak-memory discipline:
+        # originals + fused + pool all live at once can exceed HBM)
+        weights = model.fuse_projections(weights)
     runner = ModelRunner(model, weights, cfg, num_blocks=num_blocks,
                          use_pallas=use_pallas, mesh=mesh)
-    engine = LLMEngine(model, weights, cfg, num_blocks=num_blocks,
+    del weights
+    engine = LLMEngine(model, None, cfg, num_blocks=num_blocks,
                        tokenizer=tok, eos_token_id=tok.eos_token_id,
                        runner=runner)
     return engine, tok

@@ -82,6 +82,14 @@ class ModelRunner:
         self.cfg = cfg
         self.mesh = mesh
         self.backend = PagedAttentionBackend(cfg.model, use_pallas=use_pallas)
+        if mesh is None and hasattr(model, "fuse_projections") \
+                and isinstance(getattr(weights, "layers", None), list):
+            # qkv / gate-up projection fusion: 7 -> 4 kernel calls per
+            # layer (each Pallas call costs ~50-100us fixed on v5e).
+            # Runs before cache allocation — the concat transiently
+            # doubles weight memory; callers should drop their reference
+            # to the pre-fusion tree after construction.
+            weights = model.fuse_projections(weights)
         if cache is None:
             assert num_blocks is not None
             dtype = jnp.bfloat16 if cfg.cache.cache_dtype == "bfloat16" \

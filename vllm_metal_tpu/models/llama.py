@@ -47,6 +47,12 @@ class LlamaLayerWeights:
     bv: Optional[jax.Array] = None
     # per-head attention sink logits (GPT-OSS style), [num_heads]
     sinks: Optional[jax.Array] = None
+    # fused projections (single-chip fast path): each Pallas matmul call
+    # carries ~50-100us fixed overhead on v5e, so wq|wk|wv and gate|up
+    # concatenate along N (7 -> 4 kernel calls per layer).  Built by
+    # fuse_projections(); mutually exclusive with the split fields.
+    wqkv: Optional[QuantLinear] = None
+    wgu: Optional[QuantLinear] = None
 
 
 @static_dataclass()
@@ -121,9 +127,16 @@ class LlamaModel:
         cfg = self.cfg
         t = x.shape[0]
         h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps)
-        q = linear(h, lw.wq)
-        k = linear(h, lw.wk)
-        v = linear(h, lw.wv)
+        if lw.wqkv is not None:        # single-chip fused path
+            qkv = linear(h, lw.wqkv)
+            nq, nkv = cfg.q_dim, cfg.kv_dim
+            q = qkv[:, :nq]
+            k = qkv[:, nq:nq + nkv]
+            v = qkv[:, nq + nkv:]
+        else:
+            q = linear(h, lw.wq)
+            k = linear(h, lw.wk)
+            v = linear(h, lw.wv)
         if lora is not None:
             q = q + lora("wq", h)
             k = k + lora("wk", h)
@@ -160,8 +173,13 @@ class LlamaModel:
             o = o + lora("wo", ao)
         x = x + self.tp.reduce(o)
         h = rms_norm(x, lw.mlp_norm, self.cfg.rms_norm_eps)
-        gate = linear(h, lw.gate)
-        up = linear(h, lw.up)
+        if lw.wgu is not None:         # single-chip fused path
+            gu = linear(h, lw.wgu)
+            half = gu.shape[-1] // 2
+            gate, up = gu[:, :half], gu[:, half:]
+        else:
+            gate = linear(h, lw.gate)
+            up = linear(h, lw.up)
         if lora is not None:
             gate = gate + lora("gate", h)
             up = up + lora("up", h)
@@ -260,6 +278,53 @@ class LlamaModel:
             body, (x, cache0), jnp.arange(cfg.num_layers, dtype=jnp.int32))
         runtime._cell[0] = cache
         return rms_norm(x, weights.final_norm, cfg.rms_norm_eps)
+
+    @classmethod
+    def fuse_projections(cls, weights: LlamaWeights) -> LlamaWeights:
+        """Concat wq|wk|wv and gate|up along N (single-chip fast path).
+
+        Only valid when this class's layer_qkv / layer_post_attn run
+        (subclasses that override them keep split weights), and not
+        under TP (a contiguous column shard would slice across the
+        q/k/v boundary).  The runner applies this automatically.
+        """
+        import dataclasses
+
+        def cat(lins):
+            if any(li is None for li in lins):
+                return None
+            kinds = {li.kind for li in lins}
+            layouts = {li.layout for li in lins}
+            if len(kinds) != 1 or (layouts != {"kn"}
+                                   and kinds != {"dense"}):
+                return None
+            if len({str(jax.tree.structure(li)) for li in lins}) != 1:
+                return None    # e.g. mixed biased/unbiased quant groups
+
+            def catleaf(*xs):
+                axis = 0 if lins[0].kind == "dense" else -1
+                return jnp.concatenate(xs, axis=axis)
+
+            return jax.tree.map(catleaf, *lins)
+
+        fuse_qkv = cls.layer_qkv is LlamaModel.layer_qkv
+        fuse_gu = cls.layer_post_attn is LlamaModel.layer_post_attn
+        layers = []
+        for lw in weights.layers:
+            wqkv = cat([lw.wq, lw.wk, lw.wv]) if fuse_qkv \
+                and lw.bq is None and lw.wqkv is None else lw.wqkv
+            wgu = cat([lw.gate, lw.up]) if fuse_gu \
+                and lw.wgu is None else lw.wgu
+            layers.append(dataclasses.replace(
+                lw,
+                wqkv=wqkv, wgu=wgu,
+                wq=None if wqkv is not None else lw.wq,
+                wk=None if wqkv is not None else lw.wk,
+                wv=None if wqkv is not None else lw.wv,
+                gate=None if wgu is not None else lw.gate,
+                up=None if wgu is not None else lw.up,
+            ))
+        return dataclasses.replace(weights, layers=layers)
 
     @staticmethod
     def stack_layers(weights: LlamaWeights) -> LlamaWeights:
