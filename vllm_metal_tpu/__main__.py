@@ -44,10 +44,18 @@ def main() -> None:
     if args.cmd == "serve":
         from .stt import is_stt_model
         if is_stt_model(args.model):
+            import json
+            import os
             from .server.stt_server import serve_stt
-            from .stt.transcriber import load_transcriber
-            serve_stt(load_transcriber(args.model), host=args.host,
-                      port=args.port,
+            with open(os.path.join(args.model, "config.json")) as f:
+                mt = json.load(f).get("model_type", "").lower()
+            if mt == "whisper":
+                from .stt.transcriber import load_transcriber
+                tr = load_transcriber(args.model)
+            else:
+                from .stt.qwen3_asr import load_asr_transcriber
+                tr = load_asr_transcriber(args.model)
+            serve_stt(tr, host=args.host, port=args.port,
                       model_name=args.served_model_name or args.model)
             return
         from .engine.launcher import build_engine

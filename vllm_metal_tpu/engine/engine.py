@@ -537,9 +537,16 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def generate(self, prompts: Iterable[list[int]],
                  params: Optional[SamplingParams] = None,
-                 max_steps: int = 100_000) -> dict[str, RequestOutput]:
-        """Offline batch API: run all prompts to completion."""
-        ids = [self.add_request(p, params) for p in prompts]
+                 max_steps: int = 100_000,
+                 mm_features: Optional[list] = None
+                 ) -> dict[str, RequestOutput]:
+        """Offline batch API: run all prompts to completion.
+
+        ``mm_features``: optional per-prompt lists of MMFeature."""
+        prompts = list(prompts)
+        mm = mm_features or [None] * len(prompts)
+        ids = [self.add_request(p, params, mm_features=f)
+               for p, f in zip(prompts, mm)]
         final: dict[str, RequestOutput] = {}
         for _ in range(max_steps):
             if not self.has_unfinished():

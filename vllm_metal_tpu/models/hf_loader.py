@@ -108,13 +108,19 @@ class _ShardedReader:
         return self._handles[fp].get_tensor(key)
 
 
-def load_hf_model(path: str, dtype=jnp.bfloat16):
-    """HF checkpoint dir -> (model, weights, cfg)."""
+def load_hf_model(path: str, dtype=jnp.bfloat16, root: str = "model.",
+                  cfg=None):
+    """HF checkpoint dir -> (model, weights, cfg).
+
+    ``root`` relocates the text backbone (e.g. ``thinker.model.`` for
+    Qwen3-ASR composites); ``cfg`` overrides config.json parsing.
+    """
     from .gemma import GemmaLayerWeights
     from .llama import LlamaLayerWeights, LlamaWeights
     from .registry import get_model_class
 
-    cfg = config_from_hf(path)
+    if cfg is None:
+        cfg = config_from_hf(path)
     reader = _ShardedReader(path)
     is_gemma = cfg.architecture.startswith("gemma")
     layer_cls = GemmaLayerWeights if is_gemma else LlamaLayerWeights
@@ -133,7 +139,7 @@ def load_hf_model(path: str, dtype=jnp.bfloat16):
 
     layers = []
     for i in range(cfg.num_layers):
-        p = f"model.layers.{i}."
+        p = f"{root}layers.{i}."
         kw = dict(
             attn_norm=arr(p + "input_layernorm.weight"),
             wq=lin(p + "self_attn.q_proj.weight"),
@@ -167,10 +173,11 @@ def load_hf_model(path: str, dtype=jnp.bfloat16):
         layers.append(layer_cls(**kw))
 
     weights = LlamaWeights(
-        embedding=lin("model.embed_tokens.weight"),
+        embedding=lin(root + "embed_tokens.weight"),
         layers=layers,
-        final_norm=arr("model.norm.weight"),
-        lm_head=opt("lm_head.weight", lin),
+        final_norm=arr(root + "norm.weight"),
+        lm_head=opt("lm_head.weight", lin)
+        if root == "model." else opt(root[:-len("model.")] + "lm_head.weight", lin),
     )
     model = get_model_class(cfg.architecture)(cfg)
     return model, weights, cfg

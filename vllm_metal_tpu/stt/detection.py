@@ -10,7 +10,8 @@ from pathlib import Path
 
 logger = logging.getLogger(__name__)
 
-_STT_MODEL_TYPES = frozenset({"whisper"})
+_STT_MODEL_TYPES = frozenset({"whisper", "qwen3_asr",
+                              "qwen3_omni_moe"})
 
 
 def is_stt_model(model_path: str) -> bool:
