@@ -239,3 +239,67 @@ def test_yoco_decode_steps_match():
         np.testing.assert_allclose(np.asarray(out.logits)[0],
                                    np.asarray(dense)[-1],
                                    atol=0.05, rtol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Variable per-layer head_dim (Gemma4 26B/31B style)
+# ---------------------------------------------------------------------------
+
+def test_variable_head_dim_paged_matches_dense():
+    cfg = ModelConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=I, num_layers=2,
+        num_heads=NH, num_kv_heads=NKV, head_dim=16, max_model_len=64,
+        architecture="gemma3", scale_embeddings=True,
+        extra={"layer_head_dims": [8, 16], "attn_scale": 1.0})
+    model = GemmaModel(cfg)
+    weights = model.init_random(jax.random.PRNGKey(8), dtype=jnp.float32)
+    # layer 0 projections carry the smaller true dim
+    assert weights.layers[0].wq.out_features == NH * 8
+    assert weights.layers[1].wq.out_features == NH * 16
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  token_buckets=(16, 32, 64)))
+    runner = ModelRunner(model, weights, ecfg, num_blocks=16,
+                         use_pallas=False)
+    prompt = [int(x) for x in np.random.default_rng(9).integers(1, V - 1,
+                                                                11)]
+    out = runner.execute([SeqStepInput(
+        query_tokens=prompt, context_len=len(prompt), block_table=[1],
+        params=SamplingParams(temperature=0.0))])
+    ids = jnp.asarray(prompt, jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)
+    dense = model.forward(weights, ids, pos, dense_causal_attn(cfg))
+    np.testing.assert_allclose(np.asarray(out.logits)[0],
+                               np.asarray(dense)[-1], atol=0.05, rtol=0.05)
+
+
+def test_variable_head_dim_decode_steps():
+    cfg = ModelConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=I, num_layers=2,
+        num_heads=NH, num_kv_heads=NKV, head_dim=16, max_model_len=64,
+        architecture="gemma3", scale_embeddings=True,
+        extra={"layer_head_dims": [8, 16], "attn_scale": 1.0})
+    model = GemmaModel(cfg)
+    weights = model.init_random(jax.random.PRNGKey(10), dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  token_buckets=(16, 32, 64)))
+    runner = ModelRunner(model, weights, ecfg, num_blocks=16,
+                         use_pallas=False)
+    seq = [5, 9, 31]
+    out = runner.execute([SeqStepInput(
+        query_tokens=seq, context_len=3, block_table=[1, 2],
+        params=SamplingParams(temperature=0.0))])
+    for _ in range(3):
+        seq.append(int(out.token_ids[0]))
+        out = runner.execute([SeqStepInput(
+            query_tokens=[seq[-1]], context_len=len(seq),
+            block_table=[1, 2], params=SamplingParams(temperature=0.0))])
+        dense = model.forward(weights, jnp.asarray(seq, jnp.int32),
+                              jnp.arange(len(seq), dtype=jnp.int32),
+                              dense_causal_attn(cfg))
+        np.testing.assert_allclose(np.asarray(out.logits)[0],
+                                   np.asarray(dense)[-1],
+                                   atol=0.05, rtol=0.05)

@@ -45,11 +45,48 @@ class GemmaModel(LlamaModel):
         self.act = activation(cfg.extra.get("hidden_act", "gelu_tanh"))
         # YOCO (Gemma4): trailing layers reuse a caching layer's KV
         self.num_shared = int(cfg.extra.get("num_kv_shared_layers", 0) or 0)
+        # Gemma4 26B/31B: per-layer variable head_dim; q/k/v zero-pad to
+        # the cache head_dim and q pre-scales by the TRUE dim (reference
+        # ``pad_qkv_to_cache_head_dim``, sdpa.py:375; adapter :570).
+        self.layer_head_dims = cfg.extra.get("layer_head_dims")
+        if self.layer_head_dims is not None:
+            assert cfg.extra.get("attn_scale") == 1.0, \
+                "variable head_dim needs attn_scale=1.0 (q pre-scales)"
+            self._var_inv_freq = {
+                dl: rope_frequencies(dl, cfg.rope_theta, cfg.rope_scaling)
+                for dl in set(self.layer_head_dims)}
 
     def init_random(self, key, dtype=jnp.bfloat16):
         base = super().init_random(key, dtype)
         h = self.cfg.hidden_size
         nc = self.cfg.num_cached_layers
+        if self.layer_head_dims is not None:
+            from ..ops.quant_matmul import QuantLinear
+            cfg = self.cfg
+            keys = iter(jax.random.split(jax.random.fold_in(key, 11),
+                                         6 * cfg.num_layers))
+
+            def dense(shape):
+                return QuantLinear.dense(
+                    (jax.random.normal(next(keys), shape, jnp.float32)
+                     * 0.02).astype(dtype))
+
+            import dataclasses
+            relayers = []
+            for i, lw in enumerate(base.layers):
+                dl = self.layer_head_dims[i]
+                relayers.append(dataclasses.replace(
+                    lw,
+                    wq=dense((cfg.num_heads * dl, h)),
+                    wk=dense((cfg.num_kv_heads * dl, h)),
+                    wv=dense((cfg.num_kv_heads * dl, h)),
+                    wo=dense((h, cfg.num_heads * dl)),
+                    q_norm=jnp.ones((dl,), dtype)
+                    if lw.q_norm is not None else None,
+                    k_norm=jnp.ones((dl,), dtype)
+                    if lw.k_norm is not None else None,
+                ))
+            base = dataclasses.replace(base, layers=relayers)
         layers = [GemmaLayerWeights(
             **{f: getattr(lw, f) for f in (
                 "attn_norm", "wq", "wo", "mlp_norm",
@@ -76,21 +113,34 @@ class GemmaModel(LlamaModel):
             q = q + lora("wq", h)
             k = k + lora("wk", h)
             v = v + lora("wv", h)
-        q = q.reshape(t, -1, cfg.head_dim)
-        k = k.reshape(t, -1, cfg.head_dim)
-        v = v.reshape(t, -1, cfg.head_dim)
+        # per-layer head_dim derived from the weight shape (static)
+        dl = q.shape[-1] // cfg.num_heads
+        q = q.reshape(t, -1, dl)
+        k = k.reshape(t, -1, dl)
+        v = v.reshape(t, -1, dl)
         if lw.q_norm is not None:
             q = rms_norm(q, lw.q_norm, cfg.rms_norm_eps, offset=1.0)
             k = rms_norm(k, lw.k_norm, cfg.rms_norm_eps, offset=1.0)
-        # note: layer-dependent inv_freq is applied by the caller via
-        # layer_qkv_with_layer below; default uses global frequencies.
-        q = apply_rope(q, positions, self.inv_freq)
-        k = apply_rope(k, positions, self.inv_freq)
+        inv = self._var_inv_freq[dl] if self.layer_head_dims is not None \
+            else self.inv_freq
+        q = apply_rope(q, positions, inv)
+        k = apply_rope(k, positions, inv)
+        if dl != cfg.head_dim:
+            # zero-pad into the cache head_dim: scores/outputs are exact
+            # because padded q AND k columns are both zero
+            pad = ((0, 0), (0, 0), (0, cfg.head_dim - dl))
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        if self.layer_head_dims is not None:
+            q = q * jnp.asarray(dl ** -0.5, q.dtype)
         return q, k, v
 
     def layer_post_attn(self, lw, x, attn_out, lora=None):
         t = x.shape[0]
         cfg = self.cfg
+        if self.layer_head_dims is not None:
+            dl = lw.wo.in_features // cfg.num_heads
+            if attn_out.shape[-1] != dl:   # drop cache-dim zero padding
+                attn_out = attn_out[..., :dl]
         ao = attn_out.reshape(t, -1)
         o = linear(ao, lw.wo)
         if lora is not None:
