@@ -30,6 +30,10 @@ def main() -> None:
                    dest="memory_fraction", type=float, default=None)
     s.add_argument("--num-blocks", type=int, default=None)
     s.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    s.add_argument("--coordinator-address", default=None,
+                   help="host:port for multi-host jax.distributed")
+    s.add_argument("--num-hosts", type=int, default=None)
+    s.add_argument("--host-id", type=int, default=None)
     s.add_argument("--kv-quant-k", default="")
     s.add_argument("--kv-quant-v", default="")
     s.add_argument("--decode-window", type=int, default=1,
@@ -42,6 +46,9 @@ def main() -> None:
 
     args = ap.parse_args()
     if args.cmd == "serve":
+        from .parallel import init_multihost
+        init_multihost(args.coordinator_address, args.num_hosts,
+                       args.host_id)
         from .stt import is_stt_model
         if is_stt_model(args.model):
             import json

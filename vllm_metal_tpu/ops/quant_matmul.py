@@ -199,7 +199,7 @@ def dequantize_ref(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
 _GROUP_TN_TARGET = 7168
 _GROUP_TB = 256              # packed byte rows per k step
 _GROUP_M_MAX = 512           # above this, the dequant kernel wins
-_DEQ_TM, _DEQ_TN, _DEQ_TB = 256, 512, 256
+_DEQ_TM, _DEQ_TN, _DEQ_TB = 512, 1024, 256   # swept on v5e (prefill 1024)
 
 
 def _nibbles(pw):
@@ -280,14 +280,20 @@ def _expand_sub(s_ref, gs: int, tb: int):
                                preferred_element_type=jnp.float32)
 
 
-def _dequant_kernel(idx_ref, xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
-                    blo_ref, bhi_ref, o_ref, acc_ref, *, n_k: int, gs: int,
-                    kind: str, has_bias: bool):
-    """Prefill-path kernel; grid (mi, j, k).  Tiles:
-      xlo/xhi [tm, tb]  x cols [k*tb, ...) / [K/2 + k*tb, ...)
-      w       [1, tb, tn] packed bytes ("kn"); s/b [1, tb//gs, tn]
-    Dequantizes the weight tile to bf16 in VMEM (scale expansion along
-    sublanes) and runs one full-depth dot per half.
+def _dequant_kernel(idx_ref, xplo_ref, xphi_ref, xlo_ref, xhi_ref, w_ref,
+                    slo_ref, shi_ref, blo_ref, bhi_ref, o_ref, acc_ref,
+                    wdeq, *, n_k: int, gs: int, kind: str, has_bias: bool):
+    """Prefill-path kernel; grid (mi, j, k), software-pipelined.
+
+    Tiles: xplo/xphi [tm, tb] x cols of step k-1 (clamped); xlo/xhi the
+    step-k cols (used only by the epilogue matmul); w [1, tb, tn] packed
+    bytes; s/b [1, tb//gs, tn].
+
+    VPU dequant of tile k runs CONCURRENTLY with the MXU matmul of tile
+    k-1 (independent ops — the units overlap when not serialized by
+    data deps; the previous version alternated dequant->matmul on the
+    same tile, leaving each unit idle half the time).  Staged tiles
+    live in the ``wdeq`` [2, halves, tb, tn] ring.
     """
     del idx_ref
     k = pl.program_id(2)
@@ -298,25 +304,45 @@ def _dequant_kernel(idx_ref, xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
 
     if kind == "q4":
         lo, hi = _nibbles(w_ref[0])
-        halves = ((lo, xlo_ref, slo_ref, blo_ref),
-                  (hi, xhi_ref, shi_ref, bhi_ref))
+        halves = ((lo, slo_ref, blo_ref), (hi, shi_ref, bhi_ref))
+        xprev = (xplo_ref, xphi_ref)
+        xcur = (xlo_ref, xhi_ref)
     else:
-        halves = ((w_ref[0], xlo_ref, slo_ref, blo_ref),)
+        halves = ((w_ref[0], slo_ref, blo_ref),)
+        xprev = (xplo_ref,)
+        xcur = (xlo_ref,)
 
-    for q, xr, sr, br in halves:
+    cur = jax.lax.rem(k, 2)
+    prev = 1 - cur
+
+    # dequant tile k into the ring (emitted first: no dep on the matmul)
+    for hidx, (q, sr, br) in enumerate(halves):
         tb = q.shape[0]
         qf = q.astype(jnp.int32).astype(jnp.float32)
-        s = _expand_sub(sr[0], gs, tb)
-        w = qf * s
+        w = qf * _expand_sub(sr[0], gs, tb)
         if has_bias:
             w = w + _expand_sub(br[0], gs, tb)
-        acc_ref[:] += jax.lax.dot_general(
-            xr[:], w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        wdeq[cur, hidx] = w.astype(jnp.bfloat16)
+
+    @pl.when(k > 0)
+    def _():
+        acc = acc_ref[:]
+        for hidx in range(len(halves)):
+            acc = acc + jax.lax.dot_general(
+                xprev[hidx][:], wdeq[prev, hidx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        acc = acc_ref[:]
+        for hidx in range(len(halves)):
+            acc = acc + jax.lax.dot_general(
+                xcur[hidx][:], wdeq[cur, hidx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _largest_tile(n: int, target: int) -> int:
@@ -443,14 +469,22 @@ def _dequant_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     gtile = tb // gs
     hi_off = n_k if kind == "q4" else 0
 
+    def pk(k):                     # previous k-step, clamped
+        return jnp.maximum(k - 1, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((tm, tb), lambda i, j, k, l: (i, pk(k)),
+                         memory_space=pltpu.VMEM),          # x lo (k-1)
+            pl.BlockSpec((tm, tb),
+                         lambda i, j, k, l, o=hi_off: (i, pk(k) + o),
+                         memory_space=pltpu.VMEM),          # x hi (k-1)
             pl.BlockSpec((tm, tb), lambda i, j, k, l: (i, k),
-                         memory_space=pltpu.VMEM),               # x lo cols
+                         memory_space=pltpu.VMEM),          # x lo cols
             pl.BlockSpec((tm, tb), lambda i, j, k, l, o=hi_off: (i, k + o),
-                         memory_space=pltpu.VMEM),               # x hi cols
+                         memory_space=pltpu.VMEM),          # x hi cols
             pl.BlockSpec((1, tb, tn), lambda i, j, k, l: (l[0], k, j),
                          memory_space=pltpu.VMEM),               # packed w
             pl.BlockSpec((1, gtile, tn), lambda i, j, k, l: (l[0], k, j),
@@ -464,7 +498,11 @@ def _dequant_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.float32),
+            pltpu.VMEM((2, 2 if kind == "q4" else 1, tb, tn),
+                       jnp.bfloat16),             # dequant pipeline ring
+        ],
     )
     kernel = functools.partial(_dequant_kernel, n_k=n_k, gs=gs, kind=kind,
                                has_bias=has_bias)
@@ -472,12 +510,12 @@ def _dequant_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     cost = pl.CostEstimate(
         flops=2 * m * n * kdim, transcendentals=0,
         bytes_accessed=w_bytes + m * kdim * 2 + m * n * 2)
+    xb = x.astype(jnp.bfloat16)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         cost_estimate=cost, interpret=interpret,
-    )(idx, x.astype(jnp.bfloat16), x.astype(jnp.bfloat16), w3, s3, s3,
-      b3, b3)
+    )(idx, xb, xb, xb, xb, w3, s3, s3, b3, b3)
 
 
 def _pallas_supported(ql: QuantLinear) -> bool:

@@ -10,7 +10,8 @@ Megatron-style collectives (all-gathers/psums compiled onto ICI by XLA).
 """
 
 from .mesh import make_mesh, mesh_shape_for
+from .multihost import init_multihost
 from .shardings import shard_weights, shard_cache, TPContext
 
-__all__ = ["make_mesh", "mesh_shape_for", "shard_weights", "shard_cache",
-           "TPContext"]
+__all__ = ["make_mesh", "mesh_shape_for", "init_multihost",
+           "shard_weights", "shard_cache", "TPContext"]
