@@ -81,6 +81,25 @@ def test_health_models_metrics(client_factory):
     asyncio.run(run_with_client(ae, srv, fn))
 
 
+def test_health_detects_wedged_engine(client_factory):
+    """A wedged engine loop (repeated step failures) turns /health 503."""
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.get("/health")
+        assert r.status == 200
+        ae._wedged = "RuntimeError('device lost')"
+        r = await client.get("/health")
+        assert r.status == 503
+        body = await r.json()
+        assert "device lost" in body["reason"]
+        ae._wedged = None
+        r = await client.get("/health")
+        assert r.status == 200
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
 def test_completions_token_prompt(client_factory):
     ae, srv = client_factory
 

@@ -197,6 +197,14 @@ class LLMEngine:
     def has_unfinished(self) -> bool:
         return self.scheduler.has_unfinished()
 
+    def device_probe(self) -> None:
+        """Evaluate one tiny device op end-to-end (health check; the
+        reference's worker health check evaluates a single MLX op,
+        ``/root/reference/vllm_metal/v1/worker.py:349``)."""
+        import jax
+        import jax.numpy as jnp
+        jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+
     # ------------------------------------------------------------------
     def _propose_drafts(self) -> dict[str, int]:
         """Ask the proposer for drafts for every decode-ready request."""

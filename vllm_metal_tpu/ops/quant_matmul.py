@@ -210,16 +210,17 @@ def _nibbles(pw):
     return lo, hi
 
 
-def _group_kernel(idx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref, w_ref,
-                  slo_ref, shi_ref, blo_ref, bhi_ref, o_ref, acc_ref, *,
-                  n_k: int, gs: int, quantized: bool, kind: str,
+def _group_kernel(idx_ref, sx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref,
+                  w_ref, slo_ref, shi_ref, blo_ref, bhi_ref, o_ref, acc_ref,
+                  *, n_k: int, gs: int, quantized: bool, kind: str,
                   has_bias: bool):
     """Decode-path kernel; grid (mi, j, k).  Tiles (leading 1 = layer):
+      sx       [tm, 1]     per-token activation-quant scale (ones if exact)
       xlo/xhi  [tb, tm]    x^T rows [k*tb, ...) / [K/2 + k*tb, ...)
       glo/ghi  [tb//gs, tm] per-group sums of exact x rows (bias term)
       w        [1, tb, tn] packed q4 bytes (or s8 q8 rows; xhi/ghi unused)
       slo/shi  [1, tb//gs, tn] group scales;  blo/bhi group biases
-    acc += sum_g s[g] * (x_g^T @ q_g)  (+ xgsum @ b).
+    acc += sum_g s[g] * (x_g^T @ q_g)  (+ xgsum @ b); out = sx * acc.
     """
     del idx_ref
     k = pl.program_id(2)
@@ -264,7 +265,10 @@ def _group_kernel(idx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref, w_ref,
 
     @pl.when(k == n_k - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        out = acc_ref[:]
+        if quantized:
+            out = out * sx_ref[:]          # fold per-token scale in-kernel
+        o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _expand_sub(s_ref, gs: int, tb: int):
@@ -378,10 +382,11 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
                          1e-6) / 127.0
         xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         xt = xq.T                                       # [K, m]
-        # the kernel's output gets multiplied by sx afterwards, so feed the
+        # the kernel folds sx back in at the output write, so feed the
         # (exact-x) bias group-sums pre-divided — the bias term stays exact
         xgs = xgs / sx
     else:
+        sx = jnp.ones((m, 1), jnp.float32)
         xt = x.T.astype(jnp.bfloat16)
     xgs_t = xgs.T                                       # [K//gs, m]
 
@@ -391,6 +396,14 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     n_k = halved // tb
     tm = m if m <= 128 else 128
     tn = _largest_tile(n, _GROUP_TN_TARGET)
+    if quantized:
+        # Mosaic keeps up to a half's worth of [tm, tn] f32 group-dot
+        # results live (MXU-ahead-of-VPU pipelining) plus the accumulator
+        # and out block on the scoped-vmem stack; cap tn so the stack
+        # stays under the 16 MB limit (measured OOM: tm=64, tn=7168).
+        live = (tb // gs + 2) * 4 * tm
+        while tn > 1024 and live * tn > 11 * 1024 * 1024:
+            tn = max(1024, (tn // 2 + 127) // 128 * 128)
     grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), n_k)
     gtile = tb // gs
 
@@ -400,6 +413,8 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j, k, l: (i, 0),
+                         memory_space=pltpu.VMEM),               # sx
             pl.BlockSpec((tb, tm), lambda i, j, k, l: (k, i),
                          memory_space=pltpu.VMEM),               # x^T lo
             pl.BlockSpec((tb, tm), lambda i, j, k, l, o=hi_off: (k + o, i),
@@ -430,15 +445,11 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     cost = pl.CostEstimate(
         flops=2 * m * n * kdim, transcendentals=0,
         bytes_accessed=w_bytes + m * kdim * 4 + m * n * 2)
-    out_kernel_dtype = jnp.float32 if quantized else out_dtype
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, n), out_kernel_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         cost_estimate=cost, interpret=interpret,
-    )(idx, xt, xt, xgs_t, xgs_t, w3, s3, s3, b3, b3)
-    if quantized:
-        out = (out * sx).astype(out_dtype)
-    return out
+    )(idx, sx, xt, xt, xgs_t, xgs_t, w3, s3, s3, b3, b3)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))

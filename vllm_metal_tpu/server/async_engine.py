@@ -33,6 +33,8 @@ class AsyncEngine:
         self._queues: dict[str, asyncio.Queue] = {}
         self._wake = threading.Event()
         self._stop = False
+        self._steps = 0
+        self._wedged: Optional[str] = None
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="engine-loop")
 
@@ -74,6 +76,13 @@ class AsyncEngine:
                     self.loop.call_soon_threadsafe(fut.set_result, score)
                 except Exception as e:
                     self.loop.call_soon_threadsafe(fut.set_exception, e)
+            elif kind == "probe":
+                fut = payload
+                try:
+                    self.engine.device_probe()
+                    self.loop.call_soon_threadsafe(fut.set_result, True)
+                except Exception as e:
+                    self.loop.call_soon_threadsafe(fut.set_exception, e)
 
     def _emit(self, rid: str, item) -> None:
         q = self._queues.get(rid)
@@ -93,6 +102,8 @@ class AsyncEngine:
             try:
                 outs = self.engine.step()
                 failures = 0
+                self._steps += 1
+                self._wedged = None
             except Exception as e:
                 logger.exception("engine step failed")
                 failures += 1
@@ -103,6 +114,7 @@ class AsyncEngine:
                     # (mirrors the reference's engine-death request abort,
                     # /root/reference/vllm_metal/v1/engine_core.py)
                     err = RuntimeError(f"engine step failed: {e!r}")
+                    self._wedged = repr(e)
                     for rid in list(self._queues):
                         try:
                             self.engine.abort_request(rid)
@@ -115,6 +127,34 @@ class AsyncEngine:
                 self._emit(out.request_id, out)
 
     # -- async API -------------------------------------------------------
+    async def check_health(self, probe_timeout: float = 5.0) -> dict:
+        """Worker health check (reference: one-op device eval,
+        ``/root/reference/vllm_metal/v1/worker.py:349``).
+
+        Unhealthy when the engine thread died, or the step loop wedged
+        (``_MAX_STEP_FAILURES`` consecutive step errors).  When the engine
+        is idle, additionally evaluates one tiny device op through the
+        engine thread so a hung device backend is detected; while busy the
+        advancing step counter is the liveness signal.
+        """
+        if self._thread.ident is not None and not self._thread.is_alive():
+            return {"healthy": False, "reason": "engine thread dead"}
+        if self._wedged is not None:
+            return {"healthy": False,
+                    "reason": f"engine wedged: {self._wedged}"}
+        if not self.engine.has_unfinished() and self.loop is not None:
+            fut = self.loop.create_future()
+            self._in.put(("probe", fut))
+            self._wake.set()
+            try:
+                await asyncio.wait_for(fut, probe_timeout)
+            except asyncio.TimeoutError:
+                return {"healthy": False, "reason": "device probe timeout"}
+            except Exception as e:
+                return {"healthy": False,
+                        "reason": f"device probe failed: {e!r}"}
+        return {"healthy": True, "steps": self._steps}
+
     async def generate(self, prompt_ids: list[int], params: SamplingParams,
                        request_id: Optional[str] = None,
                        mm_features: Optional[list] = None

@@ -91,6 +91,11 @@ class OpenAIServer:
         return app
 
     async def health(self, request: web.Request) -> web.Response:
+        status = await self.engine.check_health()
+        if not status.get("healthy"):
+            return web.json_response(
+                {"status": "unhealthy",
+                 "reason": status.get("reason", "")}, status=503)
         return web.json_response({"status": "ok"})
 
     async def models(self, request: web.Request) -> web.Response:
