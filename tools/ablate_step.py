@@ -1,0 +1,125 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Decode-step anatomy by ablation (the profiler hangs on this platform).
+
+Runs the REAL multi-step decode window (bench configuration) with
+components knocked out via monkeypatching, and reports the deltas:
+
+  full           : the production step
+  no_write       : KV write skipped             -> write cost
+  no_attn        : attention -> identity (write kept) -> attn read cost
+  no_attn_write  : both out                     -> weights+elementwise path
+
+Each variant compiles its own program; times are best-of-N of a window-of-8
+dispatch (device-side loop, host dispatch amortized).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def make_runner(args):
+    import bench as B
+    from vllm_metal_tpu.engine.model_runner import ModelRunner
+    model, weights, cfg = B.build_model("llama3-8b")
+    bs = cfg.cache.block_size
+    blocks_needed = args.batch * -(-(args.ctx + args.window * 4 + 2) // bs) + 2
+    blocks_needed = -(-blocks_needed // 128) * 128
+    weights = model.fuse_projections(weights)
+    weights = model.stack_layers(weights)
+    runner = ModelRunner(model, weights, cfg, num_blocks=blocks_needed)
+    return runner, cfg
+
+
+def time_window(runner, cfg, args, iters=4):
+    from vllm_metal_tpu.engine.model_runner import SeqStepInput
+    from vllm_metal_tpu.engine.sampling_params import SamplingParams
+    bs = cfg.cache.block_size
+    w = args.window
+    blocks_per_seq = -(-(args.ctx + w * 4 + 2) // bs)
+    tables = [list(range(1 + i * blocks_per_seq,
+                         1 + (i + 1) * blocks_per_seq))
+              for i in range(args.batch)]
+    gp = SamplingParams(temperature=0.0)
+
+    def seqs(cl):
+        return [SeqStepInput(query_tokens=[7], context_len=cl,
+                             block_table=tables[i], params=gp)
+                for i in range(args.batch)]
+
+    runner.execute_decode_window(seqs(args.ctx + 1), w)  # compile
+    best = float("inf")
+    for it in range(iters):
+        t0 = time.perf_counter()
+        runner.execute_decode_window(seqs(args.ctx + 1 + (it + 1) * w), w)
+        best = min(best, time.perf_counter() - t0)
+    return best / w
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--variants", default="full,no_write,no_attn,no_attn_write")
+    args = ap.parse_args()
+
+    from vllm_metal_tpu.attention import backend as bk
+    from vllm_metal_tpu.attention.kv_cache import PagedKVCache
+
+    orig_attend = bk.PagedAttentionBackend.attend
+    orig_write = PagedKVCache.write
+
+    def attend_skip_write(self, layer_idx, q, k, v, cache, md, sinks=None):
+        out, _ = orig_attend(self, layer_idx, q, k, v, cache, md, sinks)
+        return out, cache
+
+    def attend_identity(self, layer_idx, q, k, v, cache, md, sinks=None):
+        cache = cache.write(layer_idx, k, v, md.slot_mapping,
+                            num_tokens=md.num_tokens)
+        return q, cache
+
+    def attend_neither(self, layer_idx, q, k, v, cache, md, sinks=None):
+        return q, cache
+
+    variants = {
+        "full": orig_attend,
+        "no_write": attend_skip_write,
+        "no_attn": attend_identity,
+        "no_attn_write": attend_neither,
+    }
+
+    results = {}
+    runner, cfg = make_runner(args)
+    for name in args.variants.split(","):
+        bk.PagedAttentionBackend.attend = variants[name]
+        runner._compiled.clear()
+        t0 = time.perf_counter()
+        ms = time_window(runner, cfg, args) * 1e3
+        results[name] = ms
+        print(f"{name:15s}: {ms:7.3f} ms/step   "
+              f"(incl compile {time.perf_counter()-t0:.0f}s)", flush=True)
+    bk.PagedAttentionBackend.attend = orig_attend
+
+    if "full" in results and "no_write" in results:
+        print(f"write cost   : {results['full']-results['no_write']:7.3f} ms")
+    if "no_write" in results and "no_attn_write" in results:
+        print(f"attn cost    : "
+              f"{results['no_write']-results['no_attn_write']:7.3f} ms")
+    if "no_attn" in results and "no_attn_write" in results:
+        print(f"write cost(2): "
+              f"{results['no_attn']-results['no_attn_write']:7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,14 +8,16 @@ efficiency from the rest of the decode step.
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
 
 import jax.numpy as jnp
 import numpy as np
@@ -85,8 +87,10 @@ def main():
     }
     for s in args.shapes.split(","):
         n, k = all_shapes[s]
+        # lm head is huge: scan only 2 copies, but note the reduced
+        # amortization of fixed dispatch cost in the printed label.
         ll = 2 if s == "lm" else L
-        bench_shape(s, n, k, ll, t)
+        bench_shape(s + ("(L=2)" if s == "lm" else ""), n, k, ll, t)
 
 
 if __name__ == "__main__":
