@@ -107,16 +107,28 @@ def apply_rope(x: jax.Array, positions: jax.Array,
     (``/root/reference/vllm_metal/attention/impls/varlen_rope_compat.py``):
     positions are absolute per token, so packed varlen batches just pass the
     right position vector.
+
+    Partial rotary (Qwen3-Next ``partial_rotary_factor``): when
+    ``2 * len(inv_freq) < head_dim`` only the leading ``2 * len(inv_freq)``
+    dims are rotated; the tail passes through unchanged.
     """
     dt = x.dtype
+    rot = 2 * inv_freq.shape[0]
+    tail = None
+    if rot < x.shape[-1]:
+        tail = x[..., rot:]
+        x = x[..., :rot]
     angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
-    cos = jnp.cos(angles)[:, None, :]   # [T, 1, hd/2]
+    cos = jnp.cos(angles)[:, None, :]   # [T, 1, rot/2]
     sin = jnp.sin(angles)[:, None, :]
     xf = x.astype(jnp.float32)
-    half = x.shape[-1] // 2
+    half = rot // 2
     x1, x2 = xf[..., :half], xf[..., half:]
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return out.astype(dt)
+    out = out.astype(dt)
+    if tail is not None:
+        out = jnp.concatenate([out, tail], axis=-1)
+    return out
 
 
 def apply_mrope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,

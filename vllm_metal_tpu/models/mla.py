@@ -22,6 +22,7 @@ from ..ops.quant_matmul import QuantLinear, linear
 from ..utils import static_dataclass
 from .common import activation, apply_rope, embed_lookup, rms_norm, \
     rope_frequencies
+from .moe import moe_ffn
 from .registry import register_model
 
 
@@ -40,9 +41,12 @@ class MLALayerWeights:
     w_uv: jax.Array                        # [H, R, dv]
     wo: QuantLinear                        # [hidden, H*dv]
     mlp_norm: jax.Array
-    gate: QuantLinear
-    up: QuantLinear
-    down: QuantLinear
+    # dense FFN (first_k_dense / MiniCPM3) — None on MoE layers
+    gate: Optional[QuantLinear]
+    up: Optional[QuantLinear]
+    down: Optional[QuantLinear]
+    # DeepSeek-V2/V3 MoE FFN (moe.MoEWeights) — None on dense layers
+    moe: Optional[Any] = None
 
 
 @static_dataclass()
@@ -63,7 +67,11 @@ class MLAModel:
         self.inv_freq = rope_frequencies(
             cfg.qk_rope_head_dim, cfg.rope_theta, cfg.rope_scaling)
         self.act = activation(cfg.hidden_act)
-        self.scale = (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim) ** -0.5
+        # yarn checkpoints fold an mscale^2 factor into the attn scale
+        # (config_from_hf precomputes it into extra["attn_scale"])
+        self.scale = cfg.extra.get(
+            "attn_scale",
+            (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim) ** -0.5)
 
     # ------------------------------------------------------------------
     def init_random(self, key: jax.Array, dtype=jnp.bfloat16) -> MLAWeights:
@@ -162,9 +170,13 @@ class MLAModel:
             t = x.shape[0]
             x = x + self.tp.reduce(linear(attn.reshape(t, -1), lw.wo))
             hm = rms_norm(x, lw.mlp_norm, cfg.rms_norm_eps)
-            y = self.act(linear(hm, lw.gate).astype(jnp.float32)
-                         ).astype(hm.dtype) * linear(hm, lw.up)
-            x = x + self.tp.reduce(linear(y, lw.down))
+            if lw.moe is not None:
+                y = moe_ffn(hm, lw.moe, self.act, tp=self.tp)
+            else:
+                y = self.act(linear(hm, lw.gate).astype(jnp.float32)
+                             ).astype(hm.dtype) * linear(hm, lw.up)
+                y = linear(y, lw.down)
+            x = x + self.tp.reduce(y)
         return rms_norm(x, weights.final_norm, cfg.rms_norm_eps)
 
     def logits(self, weights: MLAWeights, hidden: jax.Array) -> jax.Array:

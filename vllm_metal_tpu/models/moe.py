@@ -21,9 +21,24 @@ from ..ops.quant_matmul import QuantLinear, linear
 from ..utils import static_dataclass
 
 
-@static_dataclass(meta_fields=("top_k", "renormalize"))
+@static_dataclass(meta_fields=("top_k", "renormalize", "scoring",
+                               "routed_scale", "n_group", "topk_group",
+                               "group_sel"))
 class MoEWeights:
-    """One MoE FFN: router + per-expert projections (+ optional shared)."""
+    """One MoE FFN: router + per-expert projections (+ optional shared).
+
+    Routing variants (reference loads these through mlx_lm's model zoo;
+    here they are first-class):
+
+    * ``scoring="softmax"`` — Mixtral/Qwen convention.
+    * ``scoring="sigmoid"`` + ``score_bias`` — DeepSeek-V3: experts are
+      *selected* by bias-corrected sigmoid scores but *weighted* by the
+      uncorrected scores.
+    * ``routed_scale`` — DeepSeek ``routed_scaling_factor`` applied to the
+      combined routed output.
+    * ``shared_gate_vec`` — Qwen2-MoE/Qwen3-Next per-token sigmoid gate
+      ([1, H] linear) on the shared expert's output.
+    """
 
     router: QuantLinear            # [E, H]
     gate: list                     # E x QuantLinear [I, H]
@@ -32,11 +47,23 @@ class MoEWeights:
     shared_gate: Optional[QuantLinear] = None
     shared_up: Optional[QuantLinear] = None
     shared_down: Optional[QuantLinear] = None
+    shared_gate_vec: Optional[QuantLinear] = None   # [1, H]
+    score_bias: Optional[jax.Array] = None          # [E]
     top_k: int = 2
     renormalize: bool = True
+    scoring: str = "softmax"
+    routed_scale: float = 1.0
+    # group-limited routing (DeepSeek): experts partition into n_group
+    # groups; only topk_group groups stay eligible.  group_sel picks the
+    # group score: "max" (V2 group_limited_greedy) | "top2sum" (V3).
+    n_group: int = 1
+    topk_group: int = 1
+    group_sel: str = "max"
 
 
-@static_dataclass(meta_fields=("top_k", "renormalize", "num_experts"))
+@static_dataclass(meta_fields=("top_k", "renormalize", "num_experts",
+                               "scoring", "routed_scale", "n_group",
+                               "topk_group", "group_sel"))
 class MoEWeightsEP:
     """Expert-parallel MoE FFN: expert weights stacked [E, ...] so the
     expert dim shards over the mesh (field names ``egate/eup/edown`` are
@@ -55,9 +82,16 @@ class MoEWeightsEP:
     shared_gate: Optional[QuantLinear] = None
     shared_up: Optional[QuantLinear] = None
     shared_down: Optional[QuantLinear] = None
+    shared_gate_vec: Optional[QuantLinear] = None
+    score_bias: Optional[jax.Array] = None
     top_k: int = 2
     renormalize: bool = True
     num_experts: int = 0
+    scoring: str = "softmax"
+    routed_scale: float = 1.0
+    n_group: int = 1
+    topk_group: int = 1
+    group_sel: str = "max"
 
 
 def stack_experts(w: MoEWeights) -> MoEWeightsEP:
@@ -69,18 +103,51 @@ def stack_experts(w: MoEWeights) -> MoEWeightsEP:
         router=w.router, egate=stack(w.gate), eup=stack(w.up),
         edown=stack(w.down), shared_gate=w.shared_gate,
         shared_up=w.shared_up, shared_down=w.shared_down,
+        shared_gate_vec=w.shared_gate_vec, score_bias=w.score_bias,
         top_k=w.top_k, renormalize=w.renormalize,
-        num_experts=len(w.gate))
+        num_experts=len(w.gate), scoring=w.scoring,
+        routed_scale=w.routed_scale, n_group=w.n_group,
+        topk_group=w.topk_group, group_sel=w.group_sel)
 
 
 def _routing_weights(x, w) -> jax.Array:
-    """[T, E] per-token weight of every expert (0 outside the top-k)."""
+    """[T, E] per-token weight of every expert (0 outside the top-k).
+
+    DeepSeek-V3 (``scoring="sigmoid"`` + ``score_bias``): selection uses
+    bias-corrected scores, but the combine weights come from the
+    *uncorrected* sigmoid scores.
+    """
     n_exp = w.num_experts if isinstance(w, MoEWeightsEP) else len(w.gate)
     logits = linear(x, w.router, out_dtype=jnp.float32)    # [T, E]
-    probs = jax.nn.softmax(logits, axis=-1)
-    top_vals, top_idx = jax.lax.top_k(probs, w.top_k)      # [T, K]
+    if w.scoring == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    sel = probs
+    if w.score_bias is not None:
+        sel = sel + w.score_bias.astype(jnp.float32)[None, :]
+    if w.n_group > 1:
+        # group-limited routing: score each group, keep topk_group groups
+        t = sel.shape[0]
+        gs = sel.reshape(t, w.n_group, n_exp // w.n_group)
+        if w.group_sel == "top2sum":       # DeepSeek-V3
+            g_score = jnp.sum(jax.lax.top_k(gs, 2)[0], axis=-1)
+        else:                              # DeepSeek-V2 group max
+            g_score = jnp.max(gs, axis=-1)
+        _, g_idx = jax.lax.top_k(g_score, w.topk_group)    # [T, Gk]
+        g_mask = jnp.sum(jax.nn.one_hot(g_idx, w.n_group,
+                                        dtype=jnp.float32), axis=1) > 0
+        sel = jnp.where(
+            jnp.repeat(g_mask, n_exp // w.n_group, axis=-1), sel, 0.0)
+    if sel is probs:
+        top_vals, top_idx = jax.lax.top_k(probs, w.top_k)  # [T, K]
+    else:
+        _, top_idx = jax.lax.top_k(sel, w.top_k)           # [T, K]
+        top_vals = jnp.take_along_axis(probs, top_idx, axis=-1)
     if w.renormalize:
-        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+        top_vals = top_vals / (
+            jnp.sum(top_vals, axis=-1, keepdims=True) + 1e-20)
+    top_vals = top_vals * w.routed_scale
     onehot = jax.nn.one_hot(top_idx, n_exp, dtype=jnp.float32)  # [T, K, E]
     return jnp.einsum("tk,tke->te", top_vals, onehot)
 
@@ -88,8 +155,12 @@ def _routing_weights(x, w) -> jax.Array:
 def _shared_expert(x, w, act) -> jax.Array:
     g = act(linear(x, w.shared_gate).astype(jnp.float32))
     u = linear(x, w.shared_up).astype(jnp.float32)
-    return linear((g * u).astype(x.dtype),
-                  w.shared_down).astype(jnp.float32)
+    out = linear((g * u).astype(x.dtype),
+                 w.shared_down).astype(jnp.float32)
+    if w.shared_gate_vec is not None:   # qwen2moe/qwen3-next sigmoid gate
+        out = out * jax.nn.sigmoid(
+            linear(x, w.shared_gate_vec, out_dtype=jnp.float32))
+    return out
 
 
 def moe_ffn(x: jax.Array, w, act, tp=None) -> jax.Array:

@@ -31,6 +31,7 @@ from .registry import register_model
 @static_dataclass()
 class Q3NAttnLayerWeights(LlamaLayerWeights):
     wg: Optional[QuantLinear] = None       # output gate projection
+    moe: Optional[Any] = None              # MoE FFN (None = dense)
 
 
 @static_dataclass()
@@ -47,9 +48,10 @@ class GDNLayerWeights:
     out_norm: jax.Array                    # [Dv] gated-RMSNorm weight
     out_proj: QuantLinear                  # [H, Hv*Dv]
     mlp_norm: jax.Array
-    gate: QuantLinear
-    up: QuantLinear
-    down: QuantLinear
+    gate: Optional[QuantLinear]
+    up: Optional[QuantLinear]
+    down: Optional[QuantLinear]
+    moe: Optional[Any] = None              # MoE FFN (None = dense)
 
 
 @static_dataclass()
@@ -74,8 +76,11 @@ class Qwen3NextModel:
         self.dv = x["gdn_v_dim"]
         self.conv_k = x.get("gdn_conv_k", 4)
         self.conv_dim = 2 * self.hk * self.dk + self.hv * self.dv
+        # Qwen3-Next ropes only the leading partial_rotary_factor of the
+        # head dim (HF modeling_qwen3_next.py apply_rotary_pos_emb)
+        rot_dim = int(cfg.head_dim * x.get("partial_rotary_factor", 1.0))
         self.inv_freq = rope_frequencies(
-            cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+            rot_dim, cfg.rope_theta, cfg.rope_scaling)
         self.act = activation(cfg.hidden_act)
 
     def is_attention_layer(self, i: int) -> bool:
@@ -215,6 +220,10 @@ class Qwen3NextModel:
 
     def _mlp(self, lw, x):
         h = rms_norm(x, lw.mlp_norm, self.cfg.rms_norm_eps)
+        if getattr(lw, "moe", None) is not None:
+            from .moe import moe_ffn
+            return x + self.tp.reduce(moe_ffn(h, lw.moe, self.act,
+                                              tp=self.tp))
         y = self.act(linear(h, lw.gate).astype(jnp.float32)).astype(h.dtype) \
             * linear(h, lw.up)
         return x + self.tp.reduce(linear(y, lw.down))
