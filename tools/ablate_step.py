@@ -97,12 +97,35 @@ def main():
         "no_write": attend_skip_write,
         "no_attn": attend_identity,
         "no_attn_write": attend_neither,
+        # layered knockouts on top of no_attn_write (isolate the
+        # non-layer costs of the window program):
+        "naw_no_head": attend_neither,       # + logits head -> zeros
+        "naw_no_embed_head": attend_neither,  # + embed -> zeros too
     }
+
+    from vllm_metal_tpu.models import llama as _llama
+    import jax.numpy as jnp
+    orig_logits = _llama.LlamaModel.logits
+    orig_embed = _llama.LlamaModel.embed
+
+    def zero_logits(self, weights, hidden):
+        # tiny head: keeps the argmax/token feedback structure, removes
+        # the lm-head matmul cost
+        return hidden[:, :128].astype(jnp.float32)
+
+    def zero_embed(self, weights, token_ids):
+        h = self.cfg.hidden_size
+        return (token_ids[:, None] * 0).astype(jnp.bfloat16) + \
+            jnp.zeros((1, h), jnp.bfloat16)
 
     results = {}
     runner, cfg = make_runner(args)
     for name in args.variants.split(","):
         bk.PagedAttentionBackend.attend = variants[name]
+        _llama.LlamaModel.logits = zero_logits \
+            if name.startswith("naw_no_") else orig_logits
+        _llama.LlamaModel.embed = zero_embed \
+            if name == "naw_no_embed_head" else orig_embed
         runner._compiled.clear()
         t0 = time.perf_counter()
         ms = time_window(runner, cfg, args) * 1e3
@@ -110,6 +133,8 @@ def main():
         print(f"{name:15s}: {ms:7.3f} ms/step   "
               f"(incl compile {time.perf_counter()-t0:.0f}s)", flush=True)
     bk.PagedAttentionBackend.attend = orig_attend
+    _llama.LlamaModel.logits = orig_logits
+    _llama.LlamaModel.embed = orig_embed
 
     if "full" in results and "no_write" in results:
         print(f"write cost   : {results['full']-results['no_write']:7.3f} ms")

@@ -39,9 +39,19 @@ def main() -> None:
     s.add_argument("--decode-window", type=int, default=1,
                    help="multi-step decode scheduling window (1 = off)")
     s.add_argument("--speculative-method", default="",
-                   choices=["", "ngram"],
-                   help="speculative decoding (ngram prompt lookup)")
+                   choices=["", "ngram", "draft_model", "mtp"],
+                   help="speculative decoding method")
     s.add_argument("--num-speculative-tokens", type=int, default=4)
+    s.add_argument("--draft-model", default=None,
+                   help="draft checkpoint for --speculative-method "
+                        "draft_model (.gguf or HF dir)")
+    s.add_argument("--mtp-head", default=None,
+                   help="MTP head safetensors for --speculative-method mtp")
+    s.add_argument("--lora", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="load a PEFT LoRA adapter (repeatable); select "
+                        "per request via lora_name or model=NAME")
+    s.add_argument("--max-loras", type=int, default=4)
     s.add_argument("--served-model-name", default=None)
 
     args = ap.parse_args()
@@ -78,7 +88,12 @@ def main() -> None:
             kv_quant_k=args.kv_quant_k, kv_quant_v=args.kv_quant_v,
             decode_window=args.decode_window,
             spec_method=args.speculative_method,
-            num_speculative_tokens=args.num_speculative_tokens)
+            num_speculative_tokens=args.num_speculative_tokens,
+            draft_model_path=args.draft_model,
+            mtp_head_path=args.mtp_head,
+            lora_adapters=dict(kv.split("=", 1) for kv in args.lora)
+            or None,
+            max_loras=args.max_loras)
         serve(engine, tok, host=args.host, port=args.port,
               model_name=args.served_model_name or args.model)
 

@@ -55,6 +55,10 @@ def build_engine(model_path: str,
                  decode_window: int = 1,
                  spec_method: str = "",
                  num_speculative_tokens: int = 4,
+                 draft_model_path: Optional[str] = None,
+                 mtp_head_path: Optional[str] = None,
+                 lora_adapters: Optional[dict] = None,
+                 max_loras: int = 4,
                  ) -> tuple[LLMEngine, Any]:
     """Returns (engine, tokenizer).  model_path: .gguf file (for now)."""
     from ..attention.kv_cache import PagedKVCache
@@ -123,6 +127,20 @@ def build_engine(model_path: str,
                       * -(-mcfg.max_model_len // block_size)) + 1
         num_blocks = min(num_blocks, max_useful)
 
+    lora_manager = None
+    if lora_adapters:
+        from ..lora.manager import LoRAManager
+        from ..lora.peft_loader import load_peft_adapter
+        adapters = {name: load_peft_adapter(path, mcfg)
+                    for name, path in lora_adapters.items()}
+        max_rank = max(a.rank for a in adapters.values())
+        lora_manager = LoRAManager(mcfg, max_loras=max_loras,
+                                   max_rank=max(max_rank, 8))
+        for name, adapter in adapters.items():
+            lora_manager.add_adapter(name, adapter)
+            logger.info("loaded LoRA adapter %r (rank %d)", name,
+                        adapter.rank)
+
     if mesh is None and hasattr(model, "fuse_projections") \
             and isinstance(getattr(weights, "layers", None), list):
         # fuse here with rebinding so the split originals free before
@@ -130,9 +148,28 @@ def build_engine(model_path: str,
         # originals + fused + pool all live at once can exceed HBM)
         weights = model.fuse_projections(weights)
     runner = ModelRunner(model, weights, cfg, num_blocks=num_blocks,
-                         use_pallas=use_pallas, mesh=mesh)
+                         use_pallas=use_pallas, mesh=mesh,
+                         lora_manager=lora_manager)
     del weights
     engine = LLMEngine(model, None, cfg, num_blocks=num_blocks,
                        tokenizer=tok, eos_token_id=tok.eos_token_id,
                        runner=runner)
+    if spec_method == "draft_model":
+        if not draft_model_path:
+            raise ValueError("--speculative-method draft_model needs "
+                             "--draft-model PATH")
+        if draft_model_path.endswith(".gguf"):
+            dmodel, dweights, _ = load_model(draft_model_path)
+        else:
+            from ..models.hf_loader import load_hf_model
+            dmodel, dweights, _ = load_hf_model(draft_model_path)
+        engine.set_draft_model(dmodel, dweights, use_pallas=use_pallas)
+        logger.info("draft-model proposer: %s", draft_model_path)
+    elif spec_method == "mtp":
+        if not mtp_head_path:
+            raise ValueError("--speculative-method mtp needs "
+                             "--mtp-head PATH")
+        from ..spec.mtp import load_mtp_head
+        engine.set_mtp_head(load_mtp_head(mtp_head_path, mcfg))
+        logger.info("MTP proposer head: %s", mtp_head_path)
     return engine, tok

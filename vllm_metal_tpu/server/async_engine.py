@@ -54,10 +54,11 @@ class AsyncEngine:
             except queue.Empty:
                 return
             if kind == "add":
-                rid, ids, params, mm = payload
+                rid, ids, params, mm, lora = payload
                 try:
                     self.engine.add_request(ids, params, request_id=rid,
-                                            mm_features=mm)
+                                            mm_features=mm,
+                                            lora_name=lora)
                 except Exception as e:  # surface validation errors
                     self._emit(rid, e)
             elif kind == "abort":
@@ -157,12 +158,14 @@ class AsyncEngine:
 
     async def generate(self, prompt_ids: list[int], params: SamplingParams,
                        request_id: Optional[str] = None,
-                       mm_features: Optional[list] = None
+                       mm_features: Optional[list] = None,
+                       lora_name: Optional[str] = None
                        ) -> AsyncIterator[RequestOutput]:
         rid = request_id or f"req-{uuid.uuid4().hex[:16]}"
         q: asyncio.Queue = asyncio.Queue()
         self._queues[rid] = q
-        self._in.put(("add", (rid, prompt_ids, params, mm_features)))
+        self._in.put(("add", (rid, prompt_ids, params, mm_features,
+                              lora_name)))
         self._wake.set()
         try:
             while True:

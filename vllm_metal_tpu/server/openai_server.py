@@ -62,6 +62,19 @@ class OpenAIServer:
         self.started = time.time()
         self.vocab_size = async_engine.engine.cfg.model.vocab_size
 
+    def _attach_grammar(self, body: dict, params) -> None:
+        """Structured output: guided_choice / guided_regex / guided_json /
+        response_format -> token-bitmask grammar on the request params
+        (the reference accepts these through vLLM's API and applies
+        xgrammar masks, ``/root/reference/vllm_metal/v1/structured_output.py``;
+        here the producer is in-repo, ``engine/guided.py``)."""
+        from ..engine.guided import grammar_from_request
+        grammar = grammar_from_request(
+            body, self.tok, self.vocab_size,
+            getattr(self.tok, "eos_token_id", None))
+        if grammar is not None:
+            params.grammar = grammar
+
     def _check_ids(self, prompt_ids) -> Optional[str]:
         """Token-id prompts come straight off the wire; an out-of-range id
         would silently clamp in the embedding gather (XLA semantics) and
@@ -241,16 +254,19 @@ class OpenAIServer:
             prompt_ids = self.tok.encode(prompt)
         try:
             params = _params_from_request(body)
+            self._attach_grammar(body, params)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
                                      status=400)
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        lora_name = self._lora_name(body)
         stream = bool(body.get("stream", False))
         if stream:
             return await self._stream(request, rid, prompt_ids, params,
-                                      chat=False)
+                                      chat=False, lora_name=lora_name)
         try:
-            out, text = await self._collect(rid, prompt_ids, params)
+            out, text = await self._collect(rid, prompt_ids, params,
+                                            lora_name=lora_name)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
                                      status=400)
@@ -327,16 +343,20 @@ class OpenAIServer:
         prompt_ids = self.tok.encode(prompt, add_special_tokens=False)
         try:
             params = _params_from_request(body)
+            self._attach_grammar(body, params)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
                                      status=400)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        lora_name = self._lora_name(body)
         if bool(body.get("stream", False)):
             return await self._stream(request, rid, prompt_ids, params,
-                                      chat=True, mm_features=mm_features)
+                                      chat=True, mm_features=mm_features,
+                                      lora_name=lora_name)
         try:
             out, text = await self._collect(rid, prompt_ids, params,
-                                            mm_features=mm_features)
+                                            mm_features=mm_features,
+                                            lora_name=lora_name)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
                                      status=400)
@@ -356,17 +376,33 @@ class OpenAIServer:
         })
 
     # ------------------------------------------------------------------
-    async def _collect(self, rid, prompt_ids, params, mm_features=None):
+    def _lora_name(self, body: dict) -> Optional[str]:
+        """Per-request adapter selection: explicit ``lora_name``, or the
+        ``model`` field when it names a loaded adapter (the vLLM
+        convention; reference routes per-step token->slot the same way,
+        ``/root/reference/vllm_metal/v1/lora/runtime.py``)."""
+        mgr = getattr(self.engine.engine.runner, "lora_manager", None)
+        if mgr is None:
+            return None
+        name = body.get("lora_name")
+        if name is None and body.get("model") in mgr.name_to_slot:
+            name = body["model"]
+        return name
+
+    async def _collect(self, rid, prompt_ids, params, mm_features=None,
+                       lora_name=None):
         last = None
         async for out in self.engine.generate(prompt_ids, params, rid,
-                                              mm_features=mm_features):
+                                              mm_features=mm_features,
+                                              lora_name=lora_name):
             last = out
         text = self.tok.decode(last.token_ids)
         text = _apply_stop_strings(text, params.stop)
         return last, text
 
     async def _stream(self, request, rid, prompt_ids, params, chat: bool,
-                      mm_features=None) -> web.StreamResponse:
+                      mm_features=None, lora_name=None
+                      ) -> web.StreamResponse:
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -384,7 +420,8 @@ class OpenAIServer:
                              "finish_reason": None}]}
                 await resp.write(f"data: {json.dumps(first)}\n\n".encode())
             async for out in self.engine.generate(
-                    prompt_ids, params, rid, mm_features=mm_features):
+                    prompt_ids, params, rid, mm_features=mm_features,
+                    lora_name=lora_name):
                 full = self.tok.decode(out.token_ids)
                 full = _apply_stop_strings(full, params.stop)
                 delta = full[len(sent_text):]

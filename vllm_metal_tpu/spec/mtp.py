@@ -145,3 +145,72 @@ class MTPProposer:
                   jnp.asarray(hidden), jnp.asarray(token_ids[-1], jnp.int32),
                   md)
         return [int(tok)]
+
+
+def save_mtp_head(path: str, head: MTPHeadWeights) -> None:
+    """Serialize an MTP head to safetensors (canonical names below)."""
+    from safetensors.numpy import save_file
+    import numpy as np
+    tensors = {}
+    for name in ("fuse", "wq", "wk", "wv", "wo", "gate", "up", "down"):
+        ql = getattr(head, name)
+        assert ql.kind == "dense", "only dense MTP heads serialize"
+        tensors[name + ".weight"] = np.asarray(ql.w, np.float32)
+    for name in ("attn_norm", "mlp_norm", "final_norm"):
+        tensors[name + ".weight"] = np.asarray(getattr(head, name),
+                                               np.float32)
+    save_file(tensors, path)
+
+
+def load_mtp_head(path: str, cfg, dtype=jnp.bfloat16) -> MTPHeadWeights:
+    """Load an MTP head checkpoint.
+
+    Accepts (a) the canonical layout written by :func:`save_mtp_head`
+    (``fuse.weight``, ``wq.weight``, ...), or (b) HF-style draft-layer
+    names (``eh_proj.weight`` for the fusion projection and
+    ``model.layers.0.self_attn.q_proj.weight`` etc.) — the reference loads
+    a full assistant checkpoint for the same role
+    (``/root/reference/vllm_metal/v1/gemma4_mtp.py:46``).
+    """
+    import os
+    from safetensors import safe_open
+    import numpy as np
+
+    if os.path.isdir(path):
+        import glob as _glob
+        files = sorted(_glob.glob(os.path.join(path, "*.safetensors")))
+    else:
+        files = [path]
+    tensors: dict[str, np.ndarray] = {}
+    for fp in files:
+        with safe_open(fp, framework="numpy") as f:
+            for k in f.keys():
+                tensors[k] = f.get_tensor(k)
+
+    def arr(*names):
+        for n in names:
+            if n in tensors:
+                a = tensors[n]
+                if a.dtype == np.uint16:
+                    a = (a.astype(np.uint32) << 16).view(np.float32)
+                return jnp.asarray(np.asarray(a, np.float32), dtype=dtype)
+        raise KeyError(f"MTP head tensor missing: tried {names}")
+
+    def lin(*names):
+        return QuantLinear.dense(arr(*names))
+
+    p = "model.layers.0."
+    return MTPHeadWeights(
+        fuse=lin("fuse.weight", "eh_proj.weight", p + "eh_proj.weight"),
+        attn_norm=arr("attn_norm.weight", p + "input_layernorm.weight"),
+        wq=lin("wq.weight", p + "self_attn.q_proj.weight"),
+        wk=lin("wk.weight", p + "self_attn.k_proj.weight"),
+        wv=lin("wv.weight", p + "self_attn.v_proj.weight"),
+        wo=lin("wo.weight", p + "self_attn.o_proj.weight"),
+        mlp_norm=arr("mlp_norm.weight",
+                     p + "post_attention_layernorm.weight"),
+        gate=lin("gate.weight", p + "mlp.gate_proj.weight"),
+        up=lin("up.weight", p + "mlp.up_proj.weight"),
+        down=lin("down.weight", p + "mlp.down_proj.weight"),
+        final_norm=arr("final_norm.weight", "model.norm.weight"),
+    )
