@@ -259,15 +259,28 @@ class ModelRunner:
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
     # ------------------------------------------------------------------
-    def _window_fn(self, n_steps: int):
+    def _seq_bucket(self, n: int) -> int:
+        """Live-seq row bucket: the window program's matmul row count.
+
+        Padding to max_num_seqs made every decode-window matmul pay for
+        64 rows at batch 16 (~2x step time at 8B, measured v5e — the
+        group-dot kernel's cost grows with m); compile one program per
+        power-of-two bucket instead."""
+        b = 8
+        while b < n:
+            b *= 2
+        return min(b, max(self.cfg.scheduler.max_num_seqs, n))
+
+    def _window_fn(self, n_steps: int, s_pad: Optional[int] = None):
         """Jitted n-step pure-decode loop: greedy tokens feed back and
         metadata advances on device — one dispatch per window (multi-step
         scheduling; amortizes host/dispatch latency across steps)."""
         import dataclasses
-        key = ("window", n_steps)
+        if s_pad is None:
+            s_pad = self.cfg.scheduler.max_num_seqs
+        key = ("window", n_steps, s_pad)
         if key in self._compiled:
             return self._compiled[key]
-        s_pad = self.cfg.scheduler.max_num_seqs
         bs = self.cfg.cache.block_size
         model = self.model
         backend = self.backend
@@ -326,7 +339,7 @@ class ModelRunner:
         with block tables covering context + n_steps slots.  Returns
         sampled ids [n_steps, num_seqs]."""
         assert all(len(s.query_tokens) == 1 for s in seqs)
-        s_pad = self.cfg.scheduler.max_num_seqs
+        s_pad = self._seq_bucket(len(seqs))
         md = build_metadata(
             query_lens=[1] * len(seqs),
             context_lens=[s.context_len for s in seqs],
@@ -344,7 +357,7 @@ class ModelRunner:
         for i, s in enumerate(seqs):
             tokens[i] = s.query_tokens[0]
             ctx[i] = s.context_len
-        window = self._window_fn(n_steps)
+        window = self._window_fn(n_steps, s_pad)
         self.cache, outs = window(self.weights, self.cache,
                                   jnp.asarray(tokens), jnp.asarray(ctx), md)
         self.step_counter += n_steps
