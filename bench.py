@@ -15,6 +15,7 @@ and golden parity tests.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -137,7 +138,7 @@ def bench_decode_fused(runner, cfg, batch: int, ctx: int, steps: int):
     from vllm_metal_tpu.engine.sampling_params import SamplingParams
 
     bs = cfg.cache.block_size
-    window = 8
+    window = int(os.environ.get("BENCH_WINDOW", "16"))
     blocks_per_seq = -(-(ctx + steps + 2) // bs)
     tables = [list(range(1 + i * blocks_per_seq,
                          1 + (i + 1) * blocks_per_seq))

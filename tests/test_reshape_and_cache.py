@@ -46,3 +46,23 @@ def test_rac_matches_scatter(slots):
             jnp.asarray(sl), layer, block_size=BS, interpret=True)
         want = scatter_oracle(kv, k_new, v_new, sl, layer, BS)
         np.testing.assert_allclose(np.asarray(got), want, atol=0)
+
+
+@pytest.mark.parametrize("d", [64, 96])
+def test_rac_small_head_dim(d):
+    """Sub-128 head dims ride the same aliased write (lane-padded)."""
+    rng = np.random.default_rng(d)
+    L, KH, NB, BS = 2, 2, 5, 16
+    kv = jnp.asarray(rng.standard_normal((L, NB, 2, KH, BS, d)),
+                     jnp.float32)
+    slots = [3, -1, 20, 21, 22, 40]
+    t_pad = 8
+    k_new = rng.standard_normal((t_pad, KH, d)).astype(np.float32)
+    v_new = rng.standard_normal((t_pad, KH, d)).astype(np.float32)
+    sl = np.full(t_pad, -1, np.int32)
+    sl[:len(slots)] = slots
+    got = reshape_and_cache(
+        jnp.array(kv), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(sl), 1, block_size=BS, interpret=True)
+    want = scatter_oracle(kv, k_new, v_new, sl, 1, BS)
+    np.testing.assert_allclose(np.asarray(got), want, atol=0)

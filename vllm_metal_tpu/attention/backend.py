@@ -33,11 +33,22 @@ class PagedAttentionBackend:
                 # registers (rope tail may be unaligned; Mosaic masks it)
                 dim_ok = model_cfg.kv_lora_rank % 128 == 0
             else:
-                # Mosaic lane constraint: kernels assume the head dim
-                # fills 128-lane registers
-                dim_ok = model_cfg.head_dim % 128 == 0
+                # Mosaic pads sub-128 lane dims in registers, so any
+                # 8-aligned head dim lowers; sub-128 dims run at reduced
+                # lane efficiency but orders of magnitude above the jnp
+                # gather path (the reference templates head sizes
+                # {64..512}, pagedattention.metal:2310-2339)
+                dim_ok = (model_cfg.head_dim % 128 == 0
+                          or (model_cfg.head_dim % 8 == 0
+                              and model_cfg.head_dim <= 128))
             use_pallas = (jax.default_backend() == "tpu" and dim_ok
                           and not envs.FORCE_REFERENCE_ATTENTION)
+            if jax.default_backend() == "tpu" and not dim_ok:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "head_dim=%d unsupported by the Pallas attention "
+                    "kernel; falling back to the (slow) jnp reference "
+                    "path", model_cfg.head_dim)
         self.use_pallas = use_pallas
         from ..models.common import yarn_attention_factor
         self.scale = model_cfg.extra.get(

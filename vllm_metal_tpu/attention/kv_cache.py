@@ -78,8 +78,9 @@ class PagedKVCache:
         """
         import os
         import jax as _jax
+        d = self.kv.shape[-1]
         if (_jax.default_backend() == "tpu"
-                and self.kv.shape[-1] % 128 == 0   # Mosaic lane constraint
+                and (d % 128 == 0 or (d % 8 == 0 and d <= 128))
                 and os.environ.get("VLLM_METAL_TPU_PALLAS_KV_WRITE") != "0"):
             # guaranteed in-place via the aliased Pallas write
             from ..ops.reshape_and_cache import reshape_and_cache

@@ -41,9 +41,11 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], Callable[[], Any]]] = {
     # Split-KV decode: number of KV partitions (0 = auto occupancy gate).
     "VLLM_METAL_TPU_SPLIT_KV": (int, lambda: 0),
     # W4A8 decode matmuls: quantize activations to int8 per token so the
-    # group-dot kernel runs s8 x s8 on the MXU (~1.6x decode matmul
-    # bandwidth; ~1% relative activation-quant error on the centered term).
-    "VLLM_METAL_TPU_W4A8": (_bool, lambda: False),
+    # group-dot kernel runs s8 x s8 on the MXU (measured 1.6x decode
+    # matmul bandwidth at 8B on v5e; ~1% relative activation-quant error
+    # on the centered term — the group-bias term stays exact).  Default
+    # ON for decode-sized batches; set =0 for bit-exact bf16 activations.
+    "VLLM_METAL_TPU_W4A8": (_bool, lambda: True),
     # Server bind host/port defaults.
     "VLLM_METAL_TPU_HOST": (str, lambda: "0.0.0.0"),
     "VLLM_METAL_TPU_PORT": (int, lambda: 8000),
