@@ -98,3 +98,57 @@ def test_engine_e2e_with_quant_cache():
     assert len(outs) == 2
     for o in outs.values():
         assert o.finished and len(o.token_ids) == 4
+
+
+@pytest.mark.parametrize("slots", [
+    [0],                                  # single decode token
+    [5, 6, 7, 8, 9],                      # run crossing an 8-row tile
+    [3, -1, 20, 21, -1, 22],              # pads interleaved
+    [47, 0, 16],                          # non-monotonic block hops
+])
+def test_tq_write_kernel_matches_scatter(slots):
+    """Aliased Pallas TQ write (interpret) == jnp scatter path across all
+    five pool arrays (reference: TQEncodePrimitive, paged_ops.cpp:846)."""
+    from vllm_metal_tpu.ops import turboquant as tq
+    from vllm_metal_tpu.ops.tq_cache_write import tq_cache_write
+
+    rng = np.random.default_rng(len(slots))
+    mc = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=64,
+                     num_layers=2, num_heads=4, num_kv_heads=2,
+                     head_dim=128, max_model_len=256)
+    cc = CacheConfig(block_size=16, kv_quant_k="q8_0", kv_quant_v="q3_0")
+    cache = QuantPagedKVCache.allocate(mc, cc, num_blocks=4)
+    # pre-fill pools with junk so RMW blending is actually exercised
+    cache = QuantPagedKVCache(
+        k_codes=jnp.asarray(rng.integers(-9, 9, cache.k_codes.shape),
+                            jnp.int8),
+        k_scale=jnp.asarray(rng.standard_normal(cache.k_scale.shape),
+                            jnp.float32),
+        k_zero=jnp.asarray(rng.standard_normal(cache.k_zero.shape),
+                           jnp.float32),
+        v_codes=jnp.asarray(rng.integers(-3, 4, cache.v_codes.shape),
+                            jnp.int8),
+        v_scale=jnp.asarray(rng.standard_normal(cache.v_scale.shape),
+                            jnp.float32),
+        block_size=16, codec_k="q8_0", codec_v="q3_0")
+
+    t = len(slots)
+    t_pad = -(-t // 8) * 8
+    k = rng.standard_normal((t_pad, 2, 128)).astype(np.float32)
+    v = rng.standard_normal((t_pad, 2, 128)).astype(np.float32)
+    sl = np.full(t_pad, -1, np.int32)
+    sl[:t] = slots
+
+    kc, ks, kz = tq.k_encode(jnp.asarray(k), "q8_0")
+    vc, vs = tq.v_encode(jnp.asarray(v), "q3_0")
+
+    # jnp scatter path first (tq_cache_write donates the pool arrays)
+    want = cache.write(1, jnp.asarray(k), jnp.asarray(v),
+                       jnp.asarray(sl))
+    got = tq_cache_write(
+        cache.k_codes, cache.k_scale, cache.k_zero, cache.v_codes,
+        cache.v_scale, kc, ks, kz, vc, vs[..., None],
+        jnp.asarray(sl), 1, block_size=16, interpret=True)
+    for g, w in zip(got, (want.k_codes, want.k_scale, want.k_zero,
+                          want.v_codes, want.v_scale)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -62,11 +62,8 @@ class PagedAttentionBackend:
                ) -> tuple[jax.Array, PagedKVCache]:
         """Write k/v into the pool, then attend q against the pool."""
         from .quant_kv_cache import QuantPagedKVCache
-        if isinstance(cache, PagedKVCache):
-            cache = cache.write(layer_idx, k, v, md.slot_mapping,
-                                num_tokens=md.num_tokens)
-        else:
-            cache = cache.write(layer_idx, k, v, md.slot_mapping)
+        cache = cache.write(layer_idx, k, v, md.slot_mapping,
+                            num_tokens=md.num_tokens)
         if isinstance(layer_idx, int):
             window = self.cfg.layer_sliding_window(layer_idx)
         else:

@@ -294,9 +294,10 @@ def tq_paged_attention(
 
     hmat = jnp.asarray(_hadamard_signs_matrix(d))
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
-    # v_scale pool [L, KH, NB, bs] viewed with a leading singleton so the
-    # per-block DMA slice is 2D ([1, bs])
-    l, kh, nb, bs = cache.v_scale.shape
+    # v_scale pool [L, KH, NB, bs, 1] viewed with a leading singleton so
+    # the per-block DMA slice is 2D ([1, bs]); the trailing singleton is
+    # the write-kernel row layout (quant_kv_cache.py)
+    l, kh, nb, bs = cache.v_scale.shape[:4]
     vs = cache.v_scale.reshape(l, kh, nb, 1, bs)
 
     out_t = _tq_attention_call(
