@@ -193,6 +193,58 @@ def bench_decode(runner, cfg, batch: int, ctx: int, steps: int):
     return batch * steps / dt, dt / steps
 
 
+def bench_serving(runner, cfg, num_blocks: int, conc: int = 16,
+                  prompt_len: int = 128, max_tokens: int = 96,
+                  mixed: bool = False):
+    """Through-the-engine serving benchmark (LLMEngine.step loop).
+
+    Measures what BASELINE.md's north star 4 actually asks for: tokens/s
+    through scheduler + engine bookkeeping + dispatch (not the bare fused
+    window), plus p50/p99 TTFT.  ``mixed`` samples half the requests at
+    temperature 0.8 (disables the fused window for those steps — the
+    honest mixed-traffic number)."""
+    from vllm_metal_tpu.engine.engine import LLMEngine
+    from vllm_metal_tpu.engine.sampling_params import SamplingParams
+
+    eng = LLMEngine(None, None, cfg, num_blocks=num_blocks, runner=runner)
+    rng = np.random.default_rng(0)
+
+    # warm the serving programs (prefill bucket + decode paths) off-clock
+    wid = eng.add_request([7] * prompt_len,
+                          SamplingParams(temperature=0.0, max_tokens=3))
+    while eng.has_unfinished():
+        eng.step()
+
+    submit = {}
+    ttft = {}
+    t0 = time.perf_counter()
+    for i in range(conc):
+        temp = 0.8 if (mixed and i % 2) else 0.0
+        rid = eng.add_request(
+            [int(x) for x in rng.integers(5, 1000, prompt_len)],
+            SamplingParams(temperature=temp, max_tokens=max_tokens))
+        submit[rid] = time.perf_counter()
+    generated = 0
+    while eng.has_unfinished():
+        for out in eng.step():
+            if out.request_id in submit and out.request_id not in ttft \
+                    and out.new_token_ids:
+                ttft[out.request_id] = time.perf_counter() \
+                    - submit[out.request_id]
+            generated += len(out.new_token_ids)
+    dt = time.perf_counter() - t0
+    lat = sorted(ttft.values())
+    p50 = lat[len(lat) // 2] if lat else float("nan")
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))] if lat else float("nan")
+    return {
+        "tok_s": generated / dt,
+        "ttft_p50_ms": p50 * 1e3,
+        "ttft_p99_ms": p99 * 1e3,
+        "window_steps": eng.num_window_steps,
+        "single_steps": eng.num_single_steps,
+    }
+
+
 def bench_prefill(runner, cfg, prompt_len: int, iters: int = 4):
     from vllm_metal_tpu.engine.model_runner import SeqStepInput
     from vllm_metal_tpu.engine.sampling_params import SamplingParams

@@ -51,6 +51,9 @@ def test_quant_cache_pad_slots_dropped():
     slots = jnp.asarray([16, 17, -1, -1], jnp.int32)
     cache = cache.write(0, k, k, slots)
     assert np.asarray(cache.k_codes[0, :, 0]).any() == False  # block 0 clean
+    # -1 must NOT wrap to the pool's last slot (block 3, row 15)
+    assert np.asarray(cache.k_codes[0, :, 3, 15]).any() == False
+    assert np.asarray(cache.v_codes[0, :, 3, 15]).any() == False
 
 
 @pytest.mark.parametrize("ck,cv,atol", [

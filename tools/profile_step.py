@@ -81,20 +81,31 @@ def main():
             pids[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pids.items()
                 if "TPU" in n or "Device" in n or "/device" in n.lower()}
+    import re
     agg = {}
+    cnt = {}
     total = 0.0
+    top = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        agg[name] = agg.get(name, 0.0) + dur
+        if name.startswith("jit_"):
+            top += dur               # parent envelope; children re-count
+            continue
+        base = re.sub(r"[.\d]+$", "", name)
+        agg[base] = agg.get(base, 0.0) + dur
+        cnt[base] = cnt.get(base, 0) + 1
         total += dur
     print(f"pids: {pids}", file=sys.stderr)
-    print(f"\ntotal device time: {total:.2f} ms over window of {w} "
-          f"({total / w:.2f} ms/step)")
-    for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{ms:9.3f} ms  {ms/w:8.3f} /step  {name[:110]}")
+    print(f"\njit envelope: {top:.2f} ms ({top / w:.2f} ms/step); "
+          f"children sum {total:.2f} ms over window of {w}")
+    print(f"{'total ms':>9}  {'/step':>8}  {'n':>5}  op")
+    for name, ms in sorted(agg.items(), key=lambda kv: -kv[1]):
+        if ms < 0.05:
+            continue
+        print(f"{ms:9.3f}  {ms/w:8.3f}  {cnt[name]:5d}  {name[:100]}")
 
 
 if __name__ == "__main__":

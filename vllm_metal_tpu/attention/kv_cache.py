@@ -89,7 +89,10 @@ class PagedKVCache:
                                     num_tokens=num_tokens)
             return PagedKVCache(kv=nkv, block_size=self.block_size)
         bs = self.block_size
-        blk = jnp.where(slot_mapping < 0, -1, slot_mapping // bs)
+        # -1 pads must map OUT of range (num_blocks): .at[] wraps negative
+        # indices before the mode="drop" bounds check.
+        blk = jnp.where(slot_mapping < 0, self.kv.shape[1],
+                        slot_mapping // bs)
         row = slot_mapping % bs
         kv = self.kv.at[layer_idx, blk, 0, :, row].set(
             k.astype(self.kv.dtype), mode="drop")

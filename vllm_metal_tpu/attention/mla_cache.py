@@ -66,7 +66,10 @@ class MLAPagedLatentCache:
         if rows.shape[-1] != w_pad:
             rows = jnp.pad(rows, ((0, 0), (0, w_pad - rows.shape[-1])))
         flat = self.latents[layer_idx].reshape(nb * bs, w_pad)
-        flat = flat.at[slot_mapping].set(rows, mode="drop")
+        # -1 pads would wrap to the last slot (negative indices normalize
+        # before the drop bounds check) — remap out of range instead.
+        sm = jnp.where(slot_mapping < 0, nb * bs, slot_mapping)
+        flat = flat.at[sm].set(rows, mode="drop")
         return MLAPagedLatentCache(
             latents=self.latents.at[layer_idx].set(
                 flat.reshape(nb, bs, w_pad)),

@@ -102,9 +102,14 @@ class QuantPagedKVCache:
                 block_size=self.block_size,
                 codec_k=self.codec_k, codec_v=self.codec_v)
 
+        # Pad slots are -1; .at[] normalizes negatives BEFORE the bounds
+        # check, so -1 would wrap to the pool's last slot. Remap to an
+        # out-of-range index so mode="drop" really drops them.
+        sm = jnp.where(slot_mapping < 0, nb * bs, slot_mapping)
+
         def scat(pool, new, flat_shape):
             p = pool[layer_idx].reshape(flat_shape)
-            p = p.at[:, slot_mapping].set(
+            p = p.at[:, sm].set(
                 jnp.moveaxis(new, 0, 1).astype(p.dtype), mode="drop")
             return pool.at[layer_idx].set(
                 p.reshape(pool.shape[1:]))

@@ -84,6 +84,8 @@ class LLMEngine:
         self.num_cached_prompt_tokens = 0
         self.num_accepted_drafts = 0
         self.num_proposed_drafts = 0
+        self.num_window_steps = 0      # engine steps served by the fused
+        self.num_single_steps = 0      # multi-step decode window vs 1-step
 
     def set_mtp_head(self, head_weights) -> None:
         """Install an MTP draft head (spec.method == 'mtp')."""
@@ -258,7 +260,9 @@ class LLMEngine:
 
         window = self._window_size(sched)
         if window > 1:
+            self.num_window_steps += 1
             return self._step_window(sched, window)
+        self.num_single_steps += 1
 
         inputs: list[SeqStepInput] = []
         for s in sched.scheduled:
@@ -304,6 +308,10 @@ class LLMEngine:
 
         out = self.runner.execute(inputs)
 
+        hidden_np = None
+        if self.proposer is not None and out.hidden is not None:
+            import numpy as np
+            hidden_np = np.asarray(out.hidden)   # one D2H for the batch
         results: list[RequestOutput] = []
         now = time.monotonic()
         for i, s in enumerate(sched.scheduled):
@@ -335,9 +343,8 @@ class LLMEngine:
                     break
             if req.first_token_time is None:
                 req.first_token_time = now
-            if self.proposer is not None and out.hidden is not None:
-                import numpy as np
-                req.last_hidden = np.asarray(out.hidden[i])
+            if hidden_np is not None:
+                req.last_hidden = hidden_np[i]
             # commit after appending so block hashes cover real tokens
             # (spec-accepted tokens only exist in all_token_ids now); clamp
             # to num_tokens — a stop can truncate below the KV watermark
@@ -395,10 +402,12 @@ class LLMEngine:
 
     def _window_size(self, sched) -> int:
         """Multi-step decode eligibility: a full batch of greedy decodes
-        with no drafts/grammar/LoRA and nothing waiting to be admitted."""
+        with no drafts/grammar/active-LoRA and nothing waiting to be
+        admitted.  A merely *loaded* LoRA manager doesn't gate the window
+        — only a request in this batch that actually routes to an adapter
+        does (the window program has no lora seam)."""
         w = self.cfg.scheduler.decode_window
-        if w <= 1 or self.scheduler.waiting or self.proposer is not None \
-                or self.runner.lora_manager is not None:
+        if w <= 1 or self.scheduler.waiting or self.proposer is not None:
             return 1
         if not sched.scheduled:
             return 1
@@ -407,6 +416,7 @@ class LLMEngine:
             if (s.num_new_tokens != 1 or s.num_draft_tokens
                     or not req.params.greedy
                     or req.params.grammar is not None
+                    or req.lora_name is not None
                     or req.num_computed_tokens != req.num_tokens - 1
                     or req.mrope_delta != 0):
                 return 1

@@ -480,9 +480,13 @@ class ModelRunner:
             return StepOutput(token_ids=tokens[:n], logprobs=logprobs[:n],
                               logits=logits[:n], verify_tokens=verify,
                               pooled=pooled[:n], hidden=hrows[:n])
-        return StepOutput(token_ids=np.asarray(tokens)[:n],
-                          logprobs=np.asarray(logprobs)[:n],
+        # one batched D2H round trip (each separate np.asarray costs a
+        # full host<->device RPC — ~0.25-1 ms through the tunnel)
+        fetch = (tokens, logprobs) + (() if verify is None else (verify,))
+        host = jax.device_get(fetch)
+        return StepOutput(token_ids=host[0][:n],
+                          logprobs=host[1][:n],
                           logits=logits[:n],
                           verify_tokens=None if verify is None
-                          else np.asarray(verify)[:n],
+                          else host[2][:n],
                           pooled=pooled[:n], hidden=hrows[:n])

@@ -210,34 +210,68 @@ def _nibbles(pw):
     return lo, hi
 
 
-def _group_kernel(idx_ref, sx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref,
-                  w_ref, slo_ref, shi_ref, blo_ref, bhi_ref, o_ref, acc_ref,
+def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
+                  bhi_ref, o_ref, acc_ref, xt_ref, gsum_ref, sx_ref,
                   *, n_k: int, gs: int, quantized: bool, kind: str,
-                  has_bias: bool):
+                  has_bias: bool, kdim: int, tb: int):
     """Decode-path kernel; grid (mi, j, k).  Tiles (leading 1 = layer):
-      sx       [tm, 1]     per-token activation-quant scale (ones if exact)
-      xlo/xhi  [tb, tm]    x^T rows [k*tb, ...) / [K/2 + k*tb, ...)
-      glo/ghi  [tb//gs, tm] per-group sums of exact x rows (bias term)
-      w        [1, tb, tn] packed q4 bytes (or s8 q8 rows; xhi/ghi unused)
+      x        [tm, K]     raw activations (bf16); index map constant in
+                           (j, k) so the block DMAs once per mi
+      w        [1, tb, tn] packed q4 bytes (or s8 q8 rows)
       slo/shi  [1, tb//gs, tn] group scales;  blo/bhi group biases
-    acc += sum_g s[g] * (x_g^T @ q_g)  (+ xgsum @ b); out = sx * acc.
+
+    Activation prep (transpose, per-token int8 quant, per-group sums for
+    the bias term) runs IN-KERNEL at the first grid step of each mi and
+    persists in scratch — as separate XLA ops it cost ~7 dispatches /
+    ~25 us per matmul call (measured v5e: 4.2 ms/step of glue at 8B
+    decode, > half the matmul kernel time itself).
+
+      xt    [K, tm]  x^T   (int8 codes when quantized, bf16 otherwise)
+      gsum  [K//gs, tm] f32 per-group sums of exact x (pre-divided by sx
+                           when quantized; the output fold restores it)
+      sx    [1, tm]  f32   per-token |x|max/127 (absent when exact)
+
+    acc += sum_g s[g] * (xt_g^T @ q_g)  (+ gsum @ b); out = sx^T * acc.
     """
     del idx_ref
     k = pl.program_id(2)
+    first = (pl.program_id(1) == 0) & (k == 0)
+
+    @pl.when(first)
+    def _():
+        tm = x_ref.shape[0]
+        # transpose via MXU: dot_general(x [tm,K], I [tm,tm]) over dim 0
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
+               ).astype(jnp.bfloat16)
+        xt = jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16), eye, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [K, tm]
+        gsum = xt.reshape(kdim // gs, gs, tm).sum(axis=1)    # [K//gs, tm]
+        if quantized:
+            sx = jnp.maximum(jnp.max(jnp.abs(xt), axis=0, keepdims=True),
+                             1e-6) / 127.0                   # [1, tm]
+            sx_ref[:] = sx
+            xt_ref[:] = jnp.clip(jnp.round(xt / sx), -127, 127
+                                 ).astype(jnp.int8)
+            gsum_ref[:] = gsum / sx
+        else:
+            xt_ref[:] = xt.astype(xt_ref.dtype)
+            gsum_ref[:] = gsum
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    khalf = kdim // 2 if kind == "q4" else 0
     if kind == "q4":
         lo, hi = _nibbles(w_ref[0])
-        halves = ((lo, xlo_ref, slo_ref, blo_ref, glo_ref),
-                  (hi, xhi_ref, shi_ref, bhi_ref, ghi_ref))
+        halves = ((lo, 0, slo_ref, blo_ref), (hi, khalf, shi_ref, bhi_ref))
     else:
-        halves = ((w_ref[0], xlo_ref, slo_ref, blo_ref, glo_ref),)
+        halves = ((w_ref[0], 0, slo_ref, blo_ref),)
 
     acc = acc_ref[:]
-    for q, xr, sr, br, gr in halves:
+    for q, off, sr, br in halves:
         if quantized:
             q = pltpu.bitcast(q, jnp.int8) if q.dtype == jnp.uint8 else q
             pet = jnp.int32
@@ -248,8 +282,7 @@ def _group_kernel(idx_ref, sx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref,
             # cast chain on v5e; the u8->u16 relayout is the cost.)
             q = q.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
             pet = jnp.float32
-        x = xr[:]
-        tb = x.shape[0]
+        x = xt_ref[pl.ds(off + k * tb, tb), :]
         for gi in range(tb // gs):
             a, b = gi * gs, (gi + 1) * gs
             d = jax.lax.dot_general(
@@ -258,8 +291,9 @@ def _group_kernel(idx_ref, sx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref,
             s = sr[0, gi:gi + 1, :].astype(jnp.float32)
             acc = acc + d.astype(jnp.float32) * s
         if has_bias:
+            gr = gsum_ref[pl.ds((off + k * tb) // gs, tb // gs), :]
             acc = acc + jax.lax.dot_general(
-                gr[:], br[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                gr, br[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
@@ -267,7 +301,9 @@ def _group_kernel(idx_ref, sx_ref, xlo_ref, xhi_ref, glo_ref, ghi_ref,
     def _():
         out = acc_ref[:]
         if quantized:
-            out = out * sx_ref[:]          # fold per-token scale in-kernel
+            # fold the per-token scale back in (sx is [1, tm]; out rows
+            # are tokens, so transpose the broadcast)
+            out = out * jnp.transpose(sx_ref[:])
         o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -375,21 +411,6 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     idx = (jnp.asarray(ql.idx, jnp.int32).reshape(1) if ql.stacked
            else jnp.zeros((1,), jnp.int32))
 
-    xf = x.astype(jnp.float32)
-    xgs = xf.reshape(m, kdim // gs, gs).sum(-1)        # [m, K//gs] exact
-    if quantized:
-        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
-                         1e-6) / 127.0
-        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-        xt = xq.T                                       # [K, m]
-        # the kernel folds sx back in at the output write, so feed the
-        # (exact-x) bias group-sums pre-divided — the bias term stays exact
-        xgs = xgs / sx
-    else:
-        sx = jnp.ones((m, 1), jnp.float32)
-        xt = x.T.astype(jnp.bfloat16)
-    xgs_t = xgs.T                                       # [K//gs, m]
-
     tb = _GROUP_TB
     while halved % tb:
         tb //= 2
@@ -413,16 +434,8 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, 1), lambda i, j, k, l: (i, 0),
-                         memory_space=pltpu.VMEM),               # sx
-            pl.BlockSpec((tb, tm), lambda i, j, k, l: (k, i),
-                         memory_space=pltpu.VMEM),               # x^T lo
-            pl.BlockSpec((tb, tm), lambda i, j, k, l, o=hi_off: (k + o, i),
-                         memory_space=pltpu.VMEM),               # x^T hi
-            pl.BlockSpec((gtile, tm), lambda i, j, k, l: (k, i),
-                         memory_space=pltpu.VMEM),               # xgsum lo
-            pl.BlockSpec((gtile, tm), lambda i, j, k, l, o=hi_off: (k + o, i),
-                         memory_space=pltpu.VMEM),               # xgsum hi
+            pl.BlockSpec((tm, kdim), lambda i, j, k, l: (i, 0),
+                         memory_space=pltpu.VMEM),               # x (raw)
             pl.BlockSpec((1, tb, tn), lambda i, j, k, l: (l[0], k, j),
                          memory_space=pltpu.VMEM),               # packed w
             pl.BlockSpec((1, gtile, tn), lambda i, j, k, l: (l[0], k, j),
@@ -436,11 +449,17 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.float32),                   # acc
+            pltpu.VMEM((kdim, tm),
+                       jnp.int8 if quantized else jnp.bfloat16),  # x^T
+            pltpu.VMEM((kdim // gs, tm), jnp.float32),           # gsums
+            pltpu.VMEM((1, tm), jnp.float32),                    # sx
+        ],
     )
     kernel = functools.partial(
         _group_kernel, n_k=n_k, gs=gs, quantized=quantized, kind=kind,
-        has_bias=has_bias)
+        has_bias=has_bias, kdim=kdim, tb=tb)
     w_bytes = w3.size // w3.shape[0] * w3.dtype.itemsize
     cost = pl.CostEstimate(
         flops=2 * m * n * kdim, transcendentals=0,
@@ -449,7 +468,7 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         cost_estimate=cost, interpret=interpret,
-    )(idx, sx, xt, xt, xgs_t, xgs_t, w3, s3, s3, b3, b3)
+    )(idx, x.astype(jnp.bfloat16), w3, s3, s3, b3, b3)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
