@@ -324,6 +324,20 @@ def main():
     log(f"roofline: {roofline_tput:.1f} tok/s "
         f"({step_bytes / 1e9:.2f} GB/step)")
 
+    serving = {}
+    if os.environ.get("BENCH_SERVING", "1") == "1":
+        try:
+            sv = bench_serving(runner, cfg, blocks_needed, conc=16,
+                               mixed=True)
+            serving = {"serve_tok_s": round(sv["tok_s"], 1),
+                       "ttft_p50_ms": round(sv["ttft_p50_ms"], 1),
+                       "ttft_p99_ms": round(sv["ttft_p99_ms"], 1),
+                       "window_steps": sv["window_steps"],
+                       "single_steps": sv["single_steps"]}
+            log(f"serving (conc=16 mixed): {serving}")
+        except Exception as e:
+            log(f"serving bench failed: {e}")
+
     print(json.dumps({
         "metric": f"{preset}_q4_decode_b{args.batch}_ctx{args.ctx}",
         "value": round(tput, 1),
@@ -334,6 +348,7 @@ def main():
             "prefill_ms": round(ttft * 1e3, 1),
             "roofline_tok_s": round(roofline_tput, 1),
             "backend": jax.default_backend(),
+            **serving,
         },
     }))
 

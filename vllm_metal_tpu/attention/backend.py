@@ -201,5 +201,35 @@ class StepRuntime:
             c, conv=c.conv.at[gdn_pos].set(conv),
             rec=c.rec.at[gdn_pos].set(rec))
 
+    def set_gdn_conv(self, gdn_pos: int, conv):
+        import dataclasses
+        c = self._cell[0]
+        self._cell[0] = dataclasses.replace(
+            c, conv=c.conv.at[gdn_pos].set(conv))
+
+    def gdn_decode_update(self, gdn_pos: int, qx, kx, v, g, beta):
+        """Batch-parallel delta-rule update via the Pallas decode kernel.
+
+        Only valid when ``md.pure_decode`` (one token per request, so
+        every token's state slot is distinct).  Operates on the FULL
+        stacked recurrent state in place; pads route to the junk row."""
+        import jax.numpy as jnp
+        from ..ops.gdn_kernel import gdn_decode_step
+        c = self._cell[0]
+        md = self.md
+        valid = md.slot_mapping >= 0
+        junk = c.rec.shape[1] - 1
+        tok_slots = jnp.where(
+            valid, md.seq_state_slots[md.token_seq_ids], junk
+        ).astype(jnp.int32)
+        g = jnp.where(valid[:, None], g, 1.0)
+        beta = jnp.where(valid[:, None], beta, 0.0)
+        y, rec = gdn_decode_step(
+            qx, kx, v, g, beta, c.rec, gdn_pos, tok_slots,
+            interpret=bool(envs.PALLAS_INTERPRET))
+        import dataclasses
+        self._cell[0] = dataclasses.replace(c, rec=rec)
+        return y
+
     def final_cache(self):
         return self._cell[0]

@@ -43,7 +43,9 @@ class HybridCache:
         n_gdn = model_cfg.num_layers - n_attn
         attn_cfg = dataclasses.replace(model_cfg, num_layers=n_attn)
         kv = PagedKVCache.allocate(attn_cfg, cache_cfg, num_blocks, dtype)
-        slots = x.get("gdn_slots", 64)
+        # +1 junk row: the GDN decode kernel routes pad tokens' (inert)
+        # state writes to row ``slots`` so they never alias a live slot
+        slots = x.get("gdn_slots", 64) + 1
         conv_dim = 2 * x["gdn_k_heads"] * x["gdn_k_dim"] \
             + x["gdn_v_heads"] * x["gdn_v_dim"]
         taps = x.get("gdn_conv_k", 4) - 1

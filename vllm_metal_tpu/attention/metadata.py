@@ -23,7 +23,7 @@ TILE_GRAN = 8  # finest q-tile granularity the kernel may use (bq multiple)
 
 
 @static_dataclass(meta_fields=("max_num_seqs", "max_blocks_per_seq",
-                               "work_windows"))
+                               "work_windows", "pure_decode"))
 class AttentionMetadata:
     """All int32. ``T`` = padded token count, ``S`` = padded seq count.
 
@@ -66,6 +66,9 @@ class AttentionMetadata:
     work_windows: tuple = (None,)
     max_num_seqs: int = 0
     max_blocks_per_seq: int = 0
+    # static: every sequence contributed exactly one query token (lets
+    # backends pick batch-parallel decode kernels, e.g. GDN)
+    pure_decode: bool = False
 
 
 def _kernel_tiling(token_pad: int, block_size: int) -> tuple[int, int]:
@@ -207,4 +210,5 @@ def build_metadata(
         work_windows=tuple(sliding_windows),
         max_num_seqs=seq_pad,
         max_blocks_per_seq=max_blocks_per_seq,
+        pure_decode=all(ql == 1 for ql in query_lens),
     )

@@ -401,11 +401,14 @@ class LLMEngine:
         return emb, rows or None, pos
 
     def _window_size(self, sched) -> int:
-        """Multi-step decode eligibility: a full batch of greedy decodes
-        with no drafts/grammar/active-LoRA and nothing waiting to be
-        admitted.  A merely *loaded* LoRA manager doesn't gate the window
-        — only a request in this batch that actually routes to an adapter
-        does (the window program has no lora seam)."""
+        """Multi-step decode eligibility: a full batch of decodes with no
+        drafts/grammar/active-LoRA and nothing waiting to be admitted.
+        Non-greedy sampling is fine — the window program runs the full
+        on-device sampler (penalty ring maintained on device); only
+        grammar (host FSM advance per token) forces per-step execution.
+        A merely *loaded* LoRA manager doesn't gate the window — only a
+        request in this batch that actually routes to an adapter does
+        (the window program has no lora seam)."""
         w = self.cfg.scheduler.decode_window
         if w <= 1 or self.scheduler.waiting or self.proposer is not None:
             return 1
@@ -414,7 +417,6 @@ class LLMEngine:
         for s in sched.scheduled:
             req = s.request
             if (s.num_new_tokens != 1 or s.num_draft_tokens
-                    or not req.params.greedy
                     or req.params.grammar is not None
                     or req.lora_name is not None
                     or req.num_computed_tokens != req.num_tokens - 1
@@ -442,8 +444,9 @@ class LLMEngine:
                 context_len=req.num_tokens,
                 block_table=self.bm.get_block_table(req.request_id),
                 params=req.params, state_slot=state_slot,
-                reset_state=fresh))
-        outs = self.runner.execute_decode_window(inputs, window)  # [W, S]
+                reset_state=fresh,
+                recent_tokens=req.output_token_ids))
+        outs, lps = self.runner.execute_decode_window(inputs, window)
 
         results: list[RequestOutput] = []
         now = time.monotonic()
@@ -454,7 +457,7 @@ class LLMEngine:
             for j in range(window):
                 tok = int(outs[j, i])
                 req.output_token_ids.append(tok)
-                req.logprobs.append(0.0)
+                req.logprobs.append(0.0 if lps is None else float(lps[j, i]))
                 emitted.append(tok)
                 accepted += 1
                 self.num_generated_tokens += 1

@@ -271,14 +271,23 @@ class ModelRunner:
             b *= 2
         return min(b, max(self.cfg.scheduler.max_num_seqs, n))
 
-    def _window_fn(self, n_steps: int, s_pad: Optional[int] = None):
-        """Jitted n-step pure-decode loop: greedy tokens feed back and
+    def _window_fn(self, n_steps: int, s_pad: Optional[int] = None,
+                   sampled: bool = False):
+        """Jitted n-step pure-decode loop: sampled tokens feed back and
         metadata advances on device — one dispatch per window (multi-step
-        scheduling; amortizes host/dispatch latency across steps)."""
+        scheduling; amortizes host/dispatch latency across steps).
+
+        ``sampled=False`` compiles the greedy-argmax program;
+        ``sampled=True`` runs the full on-device sampler per step
+        (temperature/top-k/top-p/min-p/penalties) with the recent-token
+        penalty ring maintained on device, so non-greedy traffic keeps
+        multi-step scheduling (the reference's MPS sampler forces a host
+        round-trip per step; ours doesn't — SamplingTensors' static
+        ``use_*`` flags keep plain-temperature batches sort-free)."""
         import dataclasses
         if s_pad is None:
             s_pad = self.cfg.scheduler.max_num_seqs
-        key = ("window", n_steps, s_pad)
+        key = ("window", n_steps, s_pad, sampled)
         if key in self._compiled:
             return self._compiled[key]
         bs = self.cfg.cache.block_size
@@ -312,32 +321,59 @@ class ModelRunner:
             rows = jnp.clip(md.query_start_loc[1:] - 1, 0,
                             hidden.shape[0] - 1)
             logits = model.logits(weights, hidden[rows])
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return get_cache(), nxt, ctx_lens + 1
+            return get_cache(), logits, ctx_lens + 1
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def window(weights, cache, tokens, ctx_lens, md0):
-            active = jnp.arange(s_pad) < md0.num_seqs
-            # statically unrolled: a scan-of-layer-scan program compiles
-            # pathologically slowly in this toolchain; unrolled steps share
-            # one set of Mosaic kernels so compile cost stays ~one step
-            outs = []
-            for _ in range(n_steps):
-                cache, tokens, ctx_lens = one_step(
-                    weights, cache, tokens, ctx_lens, md0, active)
-                outs.append(tokens)
-            return cache, jnp.stack(outs)  # [n_steps, S]
+        if not sampled:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def window(weights, cache, tokens, ctx_lens, md0):
+                active = jnp.arange(s_pad) < md0.num_seqs
+                # statically unrolled: a scan-of-layer-scan program
+                # compiles pathologically slowly in this toolchain;
+                # unrolled steps share one set of Mosaic kernels so
+                # compile cost stays ~one step
+                outs = []
+                for _ in range(n_steps):
+                    cache, logits, ctx_lens = one_step(
+                        weights, cache, tokens, ctx_lens, md0, active)
+                    tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    outs.append(tokens)
+                return cache, jnp.stack(outs), None  # [n_steps, S]
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def window(weights, cache, tokens, ctx_lens, md0, st,
+                       base_lens, step0):
+                active = jnp.arange(s_pad) < md0.num_seqs
+                ring = st.recent_tokens.shape[1]
+                outs, lps = [], []
+                for i in range(n_steps):
+                    cache, logits, ctx_lens = one_step(
+                        weights, cache, tokens, ctx_lens, md0, active)
+                    tokens, lp = sample(logits, st, step0 + i)
+                    tokens = tokens.astype(jnp.int32)
+                    # append to the penalty ring (order-insensitive
+                    # multiset of the last `ring` outputs, same contract
+                    # as the host-built buffer in execute())
+                    wpos = (base_lens + i) % ring
+                    recent = st.recent_tokens.at[
+                        jnp.arange(s_pad), wpos].set(
+                        jnp.where(active, tokens, -1))
+                    st = dataclasses.replace(st, recent_tokens=recent)
+                    outs.append(tokens)
+                    lps.append(lp)
+                return cache, jnp.stack(outs), jnp.stack(lps)
 
         self._compiled[key] = window
         return window
 
-    def execute_decode_window(self, seqs: list[SeqStepInput],
-                              n_steps: int) -> np.ndarray:
-        """Run n pure-greedy decode steps in one dispatch.
+    def execute_decode_window(
+            self, seqs: list[SeqStepInput], n_steps: int
+    ) -> tuple[np.ndarray, Optional[np.ndarray]]:
+        """Run n pure-decode steps in one dispatch.
 
         Every seq must be decode-ready (query = its last committed token)
         with block tables covering context + n_steps slots.  Returns
-        sampled ids [n_steps, num_seqs]."""
+        (sampled ids [n_steps, num_seqs], logprobs or None for the
+        all-greedy program)."""
         assert all(len(s.query_tokens) == 1 for s in seqs)
         s_pad = self._seq_bucket(len(seqs))
         md = build_metadata(
@@ -357,11 +393,31 @@ class ModelRunner:
         for i, s in enumerate(seqs):
             tokens[i] = s.query_tokens[0]
             ctx[i] = s.context_len
-        window = self._window_fn(n_steps, s_pad)
-        self.cache, outs = window(self.weights, self.cache,
-                                  jnp.asarray(tokens), jnp.asarray(ctx), md)
+        if all(s.params.greedy for s in seqs):
+            window = self._window_fn(n_steps, s_pad)
+            self.cache, outs, _ = window(
+                self.weights, self.cache, jnp.asarray(tokens),
+                jnp.asarray(ctx), md)
+            lps = None
+        else:
+            ring = 64
+            recent = np.full((s_pad, ring), -1, np.int32)
+            base = np.zeros((s_pad,), np.int32)
+            for i, s in enumerate(seqs):
+                r = s.recent_tokens[-ring:]
+                if r:
+                    recent[i, :len(r)] = r
+                base[i] = len(r)
+            st = SamplingTensors.from_lists(
+                [s.params for s in seqs], s_pad, recent_tokens=recent)
+            window = self._window_fn(n_steps, s_pad, sampled=True)
+            self.cache, outs, lps = window(
+                self.weights, self.cache, jnp.asarray(tokens),
+                jnp.asarray(ctx), md, st, jnp.asarray(base),
+                jnp.asarray(self.step_counter, jnp.int32))
         self.step_counter += n_steps
-        return np.asarray(outs)[:, :len(seqs)]
+        outs_lps = None if lps is None else np.asarray(lps)[:, :len(seqs)]
+        return np.asarray(outs)[:, :len(seqs)], outs_lps
 
     # ------------------------------------------------------------------
     def _mm_extras(self, seqs: list[SeqStepInput], t_pad: int):

@@ -198,18 +198,31 @@ class Qwen3NextModel:
         g = compute_g(lw.a_log, a, lw.dt_bias)
         beta = jax.nn.sigmoid(b)
 
-        # The token-sequential scan IS the fast path on TPU: XLA keeps
-        # the recurrent carry VMEM-resident across lax.scan iterations,
-        # so 2048 prefill tokens cost ~0.2ms (measured v5e, Hv=32
-        # Dv=Dk=128) — 700x faster than the chunked UT-transform
-        # (ops/gdn.py::gdn_chunked_varlen), whose per-token state
-        # gathers stream ~400MB/chunk from HBM.  The reference needed
-        # custom sequential Metal kernels for the same effect
-        # (gdn_recurrent_*.metal); XLA gives it to us from the scan.
-        y, new_rec = gdn_recurrent_varlen(
-            q, k, v, g, beta, rec_state, md.token_seq_ids, seq_slots,
-            valid)
-        runtime.set_gdn_state(gdn_pos, new_conv, new_rec)
+        from ..ops.gdn_kernel import gdn_decode_supported
+        if md.pure_decode and runtime.backend.use_pallas \
+                and gdn_decode_supported(self.hv, self.dv, self.dk):
+            # decode: every token is a different request, so the state
+            # updates are batch-parallel — one Pallas grid step per token
+            # updates that request's state row in place (the role of the
+            # reference's gdn_recurrent_decode.metal).
+            rep = self.hv // self.hk
+            qx = jnp.repeat(q, rep, axis=1)
+            kx = jnp.repeat(k, rep, axis=1)
+            runtime.set_gdn_conv(gdn_pos, new_conv)
+            y = runtime.gdn_decode_update(gdn_pos, qx, kx, v, g, beta)
+        else:
+            # Prefill: the token-sequential scan is the fast path on
+            # TPU — XLA keeps the recurrent carry VMEM-resident across
+            # lax.scan iterations, so 2048 prefill tokens cost ~0.2ms
+            # (measured v5e, Hv=32 Dv=Dk=128) — 700x faster than the
+            # chunked UT-transform (ops/gdn.py::gdn_chunked_varlen),
+            # whose per-token state gathers stream ~400MB/chunk from
+            # HBM.  The reference needed custom sequential Metal
+            # kernels for the same effect (gdn_recurrent_*.metal).
+            y, new_rec = gdn_recurrent_varlen(
+                q, k, v, g, beta, rec_state, md.token_seq_ids, seq_slots,
+                valid)
+            runtime.set_gdn_state(gdn_pos, new_conv, new_rec)
 
         yh = y.reshape(t, self.hv, self.dv)
         zh = z.reshape(t, self.hv, self.dv)
