@@ -244,10 +244,10 @@ class ModelRunner:
 
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
-        from ..parallel.shardings import cache_pspec, weight_pspecs
+        from ..parallel.shardings import cache_pspecs, weight_pspecs
 
         w_specs = weight_pspecs(self.weights)
-        c_specs = jax.tree.map(lambda _: cache_pspec(), self.cache)
+        c_specs = cache_pspecs(self.cache)
         n_extra = (2 if use_lora else 0) + (3 if is_mm else 0)
         # P() prefixes broadcast over the md / sampling pytrees (replicated)
         sharded = shard_map(
@@ -324,7 +324,6 @@ class ModelRunner:
             return get_cache(), logits, ctx_lens + 1
 
         if not sampled:
-            @functools.partial(jax.jit, donate_argnums=(1,))
             def window(weights, cache, tokens, ctx_lens, md0):
                 active = jnp.arange(s_pad) < md0.num_seqs
                 # statically unrolled: a scan-of-layer-scan program
@@ -337,9 +336,11 @@ class ModelRunner:
                         weights, cache, tokens, ctx_lens, md0, active)
                     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     outs.append(tokens)
-                return cache, jnp.stack(outs), None  # [n_steps, S]
+                # zero logprobs (greedy): a real array keeps the output
+                # pytree uniform for the shard_map out_specs
+                return cache, jnp.stack(outs), \
+                    jnp.zeros((n_steps, s_pad), jnp.float32)
         else:
-            @functools.partial(jax.jit, donate_argnums=(1,))
             def window(weights, cache, tokens, ctx_lens, md0, st,
                        base_lens, step0):
                 active = jnp.arange(s_pad) < md0.num_seqs
@@ -361,6 +362,23 @@ class ModelRunner:
                     outs.append(tokens)
                     lps.append(lp)
                 return cache, jnp.stack(outs), jnp.stack(lps)
+
+        if self.mesh is not None:
+            # same seams as _step_fn: sharded weights + kv-head-sharded
+            # cache in, everything else replicated (the sampler and token
+            # feedback run identically on every chip)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.shardings import cache_pspecs, weight_pspecs
+            w_specs = weight_pspecs(self.weights)
+            c_specs = cache_pspecs(self.cache)
+            n_in = 3 if not sampled else 6
+            window = shard_map(
+                window, mesh=self.mesh,
+                in_specs=(w_specs, c_specs) + (P(),) * n_in,
+                out_specs=(c_specs, P(), P()),
+                check_vma=False)
+        window = functools.partial(jax.jit, donate_argnums=(1,))(window)
 
         self._compiled[key] = window
         return window

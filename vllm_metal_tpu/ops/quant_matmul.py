@@ -418,11 +418,12 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     tm = m if m <= 128 else 128
     tn = _largest_tile(n, _GROUP_TN_TARGET)
     if quantized:
-        # Mosaic keeps up to a half's worth of [tm, tn] f32 group-dot
+        # Mosaic keeps BOTH nibble-halves' per-group [tm, tn] f32 dot
         # results live (MXU-ahead-of-VPU pipelining) plus the accumulator
         # and out block on the scoped-vmem stack; cap tn so the stack
-        # stays under the 16 MB limit (measured OOM: tm=64, tn=7168).
-        live = (tb // gs + 2) * 4 * tm
+        # stays under the 16 MB limit (measured: tm=64, tn=4096 ->
+        # 20.77 MB scoped alloc; the decode path tm<=16, tn=7168 fits).
+        live = (2 * (tb // gs) + 2) * 4 * tm
         while tn > 1024 and live * tn > 11 * 1024 * 1024:
             tn = max(1024, (tn // 2 + 127) // 128 * 128)
     grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), n_k)

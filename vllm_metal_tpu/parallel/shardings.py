@@ -90,6 +90,28 @@ def cache_pspec() -> P:
     return P(None, None, None, "model", None, None)
 
 
+def cache_pspecs(cache: Any) -> Any:
+    """Same-structure pytree of PartitionSpec for any cache type.
+
+    The paged pool shards its kv_heads axis (attention is then fully
+    local — the Megatron split gives each chip the heads its q shard
+    needs); TurboQuant pools are [L, KH, NB, bs, last] so the head axis
+    is dim 1.  MLA latent and GDN state pools replicate: the latent is
+    shared across heads by construction, and the hybrid state cache is
+    small (slots x heads x Dv x Dk) relative to the KV pool.
+    """
+    def leaf_spec(path, arr) -> P:
+        names = [p.name for p in path if hasattr(p, "name")]
+        if names and names[-1] == "kv":
+            return cache_pspec()
+        if names and names[-1] in ("k_codes", "k_scale", "k_zero",
+                                   "v_codes", "v_scale"):
+            return P(None, "model", None, None, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, cache)
+
+
 def shard_weights(weights: Any, mesh: Mesh) -> Any:
     specs = weight_pspecs(weights)
     return jax.tree.map(
@@ -98,9 +120,10 @@ def shard_weights(weights: Any, mesh: Mesh) -> Any:
 
 
 def shard_cache(cache: Any, mesh: Mesh) -> Any:
-    spec = cache_pspec()
-    return dataclasses.replace(
-        cache, kv=jax.device_put(cache.kv, NamedSharding(mesh, spec)))
+    specs = cache_pspecs(cache)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        cache, specs)
 
 
 class TPContext:
