@@ -30,6 +30,7 @@ def main() -> None:
                    dest="memory_fraction", type=float, default=None)
     s.add_argument("--num-blocks", type=int, default=None)
     s.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    s.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
     s.add_argument("--coordinator-address", default=None,
                    help="host:port for multi-host jax.distributed")
     s.add_argument("--num-hosts", type=int, default=None)
@@ -85,6 +86,7 @@ def main() -> None:
             memory_fraction=args.memory_fraction,
             num_blocks=args.num_blocks,
             tensor_parallel_size=args.tensor_parallel_size,
+            pipeline_parallel_size=args.pipeline_parallel_size,
             kv_quant_k=args.kv_quant_k, kv_quant_v=args.kv_quant_v,
             decode_window=args.decode_window,
             spec_method=args.speculative_method,

@@ -158,16 +158,26 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # pipeline stages: contiguous layer ranges over a 'pp' mesh axis
+    # (parallel/pipeline.py); phase 0 — mutually exclusive with TP
+    pipeline_parallel_size: int = 1
     # MoE expert parallelism: shard the expert dim over the tp axis
     # instead of sharding each expert's matrices (moe.MoEWeightsEP)
     expert_parallel: bool = False
     # mesh axis names
     tp_axis: str = "model"
     dp_axis: str = "data"
+    pp_axis: str = "pp"
 
     @property
     def world_size(self) -> int:
-        return self.tensor_parallel_size * self.data_parallel_size
+        return (self.tensor_parallel_size * self.data_parallel_size
+                * self.pipeline_parallel_size)
+
+    def __post_init__(self) -> None:
+        if self.pipeline_parallel_size > 1 \
+                and self.tensor_parallel_size > 1:
+            raise ValueError("PP phase 0 does not compose with TP yet")
 
 
 @dataclass

@@ -50,6 +50,7 @@ def build_engine(model_path: str,
                  memory_fraction: Optional[float] = None,
                  num_blocks: Optional[int] = None,
                  tensor_parallel_size: int = 1,
+                 pipeline_parallel_size: int = 1,
                  use_pallas: Optional[bool] = None,
                  kv_quant_k: str = "", kv_quant_v: str = "",
                  decode_window: int = 1,
@@ -105,7 +106,8 @@ def build_engine(model_path: str,
             max_num_seqs=max_num_seqs,
             max_num_batched_tokens=max_num_batched_tokens,
             decode_window=decode_window),
-        parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+        parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size,
+                                pipeline_parallel_size=pipeline_parallel_size),
         spec=SpecConfig(method=spec_method,
                         num_speculative_tokens=num_speculative_tokens)
         if spec_method else SpecConfig(),
@@ -140,6 +142,32 @@ def build_engine(model_path: str,
             lora_manager.add_adapter(name, adapter)
             logger.info("loaded LoRA adapter %r (rank %d)", name,
                         adapter.rank)
+
+    if pipeline_parallel_size > 1:
+        # stage-sharded serving (phase 0): no spec/LoRA/window/quant-KV
+        if spec_method or lora_manager is not None or decode_window > 1 \
+                or kv_quant_k:
+            raise ValueError(
+                "pipeline_parallel_size > 1 does not compose with "
+                "spec decode, LoRA, decode windows, or quantized KV yet")
+        import numpy as np
+        from jax.sharding import Mesh
+        from ..parallel.pipeline import PipelineRunner
+        pp = pipeline_parallel_size
+        if len(jax.devices()) < pp:
+            raise ValueError(
+                f"pipeline_parallel_size={pp} needs {pp} devices, "
+                f"have {len(jax.devices())}")
+        pmesh = Mesh(np.asarray(jax.devices()[:pp]), (cfg.parallel.pp_axis,))
+        runner = PipelineRunner(model, weights, cfg, pmesh,
+                                num_blocks=num_blocks,
+                                pp_axis=cfg.parallel.pp_axis,
+                                use_pallas=use_pallas)
+        del weights
+        engine = LLMEngine(model, None, cfg, num_blocks=num_blocks,
+                           tokenizer=tok, eos_token_id=tok.eos_token_id,
+                           runner=runner)
+        return engine, tok
 
     if mesh is None and hasattr(model, "fuse_projections") \
             and isinstance(getattr(weights, "layers", None), list):

@@ -175,3 +175,87 @@ class PipelineRunner:
         logits, self.kv = self._step(self.weights, self.kv,
                                      jnp.asarray(token_ids), md)
         return logits
+
+    # ------------------------------------------------------------------
+    # LLMEngine runner contract (the reference serves PP through the same
+    # scheduler/model-runner seam: v1/model_runner.py:1930-1968 samples on
+    # the last stage and feeds ids back through the scheduler; here logits
+    # are psum-replicated so sampling is identical on every device).
+    cache = None            # no hybrid state (phase 0: uniform layers)
+    lora_manager = None
+
+    def _token_bucket(self, n: int) -> int:
+        for b in self.cfg.scheduler.token_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"{n} tokens exceeds the largest bucket "
+            f"{self.cfg.scheduler.token_buckets[-1]}")
+
+    def _sample_fn(self):
+        if not hasattr(self, "_sample_c"):
+            from ..engine.sampler import sample
+
+            @jax.jit
+            def fn(logits, qsl, st, step):
+                rows = jnp.clip(qsl[1:] - 1, 0, logits.shape[0] - 1)
+                return sample(logits[rows].astype(jnp.float32), st, step)
+
+            self._sample_c = fn
+        return self._sample_c
+
+    def execute(self, seqs, sync: bool = True):
+        """One engine step over the pipeline: prefill/decode packed batch
+        -> sampled tokens.  No spec/LoRA/mm in PP phase 0 (launcher
+        guards); grammar bitmasks ride the shared sampler."""
+        import numpy as np
+
+        from ..attention.metadata import build_metadata
+        from ..engine.model_runner import StepOutput
+        from ..engine.sampler import SamplingTensors
+
+        assert seqs, "empty step"
+        s_pad = self.cfg.scheduler.max_num_seqs
+        total = sum(len(s.query_tokens) for s in seqs)
+        t_pad = self._token_bucket(total)
+        md = build_metadata(
+            query_lens=[len(s.query_tokens) for s in seqs],
+            context_lens=[s.context_len for s in seqs],
+            block_tables=[s.block_table for s in seqs],
+            block_size=self.block_size,
+            token_pad=t_pad, seq_pad=s_pad,
+            max_blocks_per_seq=self.max_blocks_per_seq)
+        flat = np.zeros((t_pad,), np.int32)
+        t = 0
+        for s in seqs:
+            flat[t:t + len(s.query_tokens)] = s.query_tokens
+            t += len(s.query_tokens)
+        ring = 64
+        recent = np.full((s_pad, ring), -1, np.int32)
+        for i, s in enumerate(seqs):
+            r = s.recent_tokens[-ring:]
+            if r:
+                recent[i, :len(r)] = r
+        bitmask = None
+        if any(s.token_bitmask is not None for s in seqs):
+            nwords = (self.cfg.model.vocab_size + 31) // 32
+            bitmask = np.full((s_pad, nwords), 0xFFFFFFFF, np.uint32)
+            for i, s in enumerate(seqs):
+                if s.token_bitmask is not None:
+                    bitmask[i] = s.token_bitmask
+        st = SamplingTensors.from_lists(
+            [s.params for s in seqs], s_pad, recent_tokens=recent,
+            token_bitmask=bitmask)
+        logits, self.kv = self._step(self.weights, self.kv,
+                                     jnp.asarray(flat), md)
+        step_idx = getattr(self, "step_counter", 0)
+        tokens, logprobs = self._sample_fn()(
+            logits, md.query_start_loc, st,
+            jnp.asarray(step_idx, jnp.int32))
+        self.step_counter = step_idx + 1
+        n = len(seqs)
+        host = jax.device_get((tokens, logprobs))
+        return StepOutput(token_ids=host[0][:n], logprobs=host[1][:n],
+                          logits=logits[jnp.clip(
+                              md.query_start_loc[1:] - 1, 0,
+                              logits.shape[0] - 1)][:n])
