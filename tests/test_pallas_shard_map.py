@@ -147,6 +147,46 @@ def test_tp_quant_kv_step():
 
 
 @needs_devices
+def test_tp_mla_step():
+    """MLA-TP: q heads + absorbed w_uk/w_uv shard, latent pool
+    replicated; Pallas absorbed-MQA kernel in interpret under the mesh."""
+    from vllm_metal_tpu.models.mla import MLAModel
+
+    mc = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=1, head_dim=32, max_model_len=128,
+        is_mla=True, kv_lora_rank=32, q_lora_rank=0,
+        qk_rope_head_dim=16, qk_nope_head_dim=24, v_head_dim=20)
+
+    def cfg(tp=1):
+        return EngineConfig(
+            model=mc, cache=CacheConfig(block_size=16),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=64,
+                                      token_buckets=(16, 32, 64)),
+            parallel=ParallelConfig(tensor_parallel_size=tp))
+
+    model = MLAModel(mc)
+    weights = model.init_random(jax.random.PRNGKey(4), dtype=jnp.float32)
+    r1 = ModelRunner(MLAModel(mc), weights, cfg(), num_blocks=16,
+                     use_pallas=False)
+    mesh = make_mesh(tp=2)
+    r2 = ModelRunner(MLAModel(mc), weights, cfg(tp=2), num_blocks=16,
+                     use_pallas=True, mesh=mesh)
+
+    prompt = [3, 61, 12, 9]
+    o1 = r1.execute([_seq(prompt, len(prompt), [1, 3])])
+    o2 = r2.execute([_seq(prompt, len(prompt), [1, 3])])
+    np.testing.assert_allclose(np.asarray(o1.logits), np.asarray(o2.logits),
+                               atol=0.06, rtol=0.06)
+    nxt = int(o1.token_ids[0])
+    o1 = r1.execute([_seq([nxt], len(prompt) + 1, [1, 3])])
+    o2 = r2.execute([_seq([nxt], len(prompt) + 1, [1, 3])])
+    np.testing.assert_allclose(np.asarray(o1.logits), np.asarray(o2.logits),
+                               atol=0.06, rtol=0.06)
+
+
+@needs_devices
 def test_ep_moe_pallas_step():
     """Expert-parallel MoE + Pallas attention under the mesh."""
     from vllm_metal_tpu.models.mixtral import MixtralModel

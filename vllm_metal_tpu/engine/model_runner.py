@@ -112,14 +112,18 @@ class ModelRunner:
                 cache = PagedKVCache.allocate(
                     cfg.model, cfg.cache, num_blocks, dtype=dtype)
         if mesh is not None:
-            if cfg.model.is_mla:
-                raise NotImplementedError(
-                    "TP for MLA models lands with the MLA kernel pass")
             from ..parallel.shardings import (
                 TPContext, shard_cache, shard_weights)
             tp = mesh.shape[cfg.parallel.tp_axis]
             mc = cfg.model
-            if mc.num_heads % tp or mc.num_kv_heads % tp:
+            if mc.is_mla:
+                # MLA-TP: q heads + absorbed w_uk/w_uv shard; the latent
+                # pool replicates (every chip computes/writes the same
+                # latent), so only num_heads must divide
+                if mc.num_heads % tp:
+                    raise ValueError(
+                        f"num_heads ({mc.num_heads}) must divide tp={tp}")
+            elif mc.num_heads % tp or mc.num_kv_heads % tp:
                 raise ValueError(
                     f"heads ({mc.num_heads}/{mc.num_kv_heads}) must divide "
                     f"tp={tp}")

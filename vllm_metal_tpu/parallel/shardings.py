@@ -21,11 +21,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # linear-weight roles
-_COLUMN = ("wq", "wk", "wv", "gate", "up")          # shard out_features
+_COLUMN = ("wq", "wk", "wv", "gate", "up", "wq_b")  # shard out_features
 _ROW = ("wo", "down")                               # shard in_features
 _VOCAB = ("embedding", "lm_head")                   # shard vocab rows
 _SHARD_VEC = ("bq", "bk", "bv", "sinks")            # 1-D sharded vectors
 _EXPERT = ("egate", "eup", "edown")                 # shard the expert dim
+# MLA absorbed up-projections [H, ...]: shard the head dim; the latent
+# path (wkv_a / wq_a / norms) replicates — every chip computes the same
+# latent and writes its replicated latent-pool copy, so MLA attention
+# needs no collective beyond the standard wo psum
+_HEAD_STACKED = ("w_uk", "w_uv")
 
 
 def _linear_spec(role: str, field: str, kind: str, layout: str,
@@ -77,6 +82,8 @@ def weight_pspecs(weights: Any) -> Any:
         if role is not None:
             # bare array under a linear role (shouldn't happen, but safe)
             return P()
+        if names and names[-1] in _HEAD_STACKED:
+            return P("model", *([None] * (leaf.ndim - 1)))
         if names and names[-1] in _SHARD_VEC:
             return P("model")
         return P()
