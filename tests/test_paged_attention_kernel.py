@@ -166,3 +166,17 @@ def test_kernel_small_head_dim_window_sinks():
     sinks = jnp.asarray(np.linspace(-1, 1, 4), jnp.float32)
     got, want = run_both(q, k, v, md, sliding_window=32, sinks=sinks)
     check(got, want, total)
+
+
+def test_head_dim_192():
+    """1.5-lane-tile head dim (DeepSeek-V2-lite class); reference
+    templates it explicitly (pagedattention.metal:2310-2339)."""
+    q, k, v, md, total = setup_case([1, 7, 1], [30, 12, 60], d=192)
+    got, want = run_both(q, k, v, md)
+    check(got, want, total)
+
+
+def test_head_dim_192_gqa_window():
+    q, k, v, md, total = setup_case([5, 1], [25, 40], d=192, qh=8, kvh=2)
+    got, want = run_both(q, k, v, md, sliding_window=16)
+    check(got, want, total)

@@ -79,3 +79,39 @@ def test_tq_kernel_sliding_window():
     np.testing.assert_allclose(
         np.asarray(got, np.float32)[:total],
         np.asarray(want, np.float32)[:total], atol=0.06, rtol=0.05)
+
+
+def test_tq_kernel_softcap():
+    q, cache, md, total = setup([1, 9], [40, 30])
+    want = paged_attention_quant_ref(q, cache, 1, md, logit_softcap=30.0)
+    got = tq_paged_attention(q, cache, md, 1, logit_softcap=30.0,
+                             interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:total],
+        np.asarray(want, np.float32)[:total], atol=0.06, rtol=0.05)
+
+
+def test_tq_kernel_sinks():
+    """Gemma-style attention sinks join the softmax denominator."""
+    q, cache, md, total = setup([2, 1], [25, 50], qh=4, kvh=2)
+    sinks = jnp.asarray([0.5, -0.3, 1.2, 0.0], jnp.float32)
+    want = paged_attention_quant_ref(q, cache, 1, md, sinks=sinks)
+    got = tq_paged_attention(q, cache, md, 1, sinks=sinks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:total],
+        np.asarray(want, np.float32)[:total], atol=0.06, rtol=0.05)
+
+
+def test_tq_kernel_sinks_softcap_window():
+    """All three features compose (the reference's Gemma TQ serve path)."""
+    q, cache, md, total = setup([1, 12], [60, 40], qh=4, kvh=2)
+    sinks = jnp.asarray([0.2, 0.9, -0.5, 0.1], jnp.float32)
+    want = paged_attention_quant_ref(
+        q, cache, 1, md, sinks=sinks, logit_softcap=50.0,
+        sliding_window=32)
+    got = tq_paged_attention(
+        q, cache, md, 1, sinks=sinks, logit_softcap=50.0,
+        sliding_window=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:total],
+        np.asarray(want, np.float32)[:total], atol=0.06, rtol=0.05)

@@ -33,14 +33,14 @@ class PagedAttentionBackend:
                 # registers (rope tail may be unaligned; Mosaic masks it)
                 dim_ok = model_cfg.kv_lora_rank % 128 == 0
             else:
-                # Mosaic pads sub-128 lane dims in registers, so any
-                # 8-aligned head dim lowers; sub-128 dims run at reduced
-                # lane efficiency but orders of magnitude above the jnp
-                # gather path (the reference templates head sizes
-                # {64..512}, pagedattention.metal:2310-2339)
-                dim_ok = (model_cfg.head_dim % 128 == 0
-                          or (model_cfg.head_dim % 8 == 0
-                              and model_cfg.head_dim <= 128))
+                # Mosaic pads non-128-multiple lane dims in registers, so
+                # any 8-aligned head dim <= 512 lowers (d=192 runs at 1.5
+                # lane tiles; sub-128 dims at reduced lane efficiency —
+                # both orders of magnitude above the jnp gather path; the
+                # reference templates head sizes {64..512},
+                # pagedattention.metal:2310-2339)
+                dim_ok = (model_cfg.head_dim % 8 == 0
+                          and model_cfg.head_dim <= 512)
             use_pallas = (jax.default_backend() == "tpu" and dim_ok
                           and not envs.FORCE_REFERENCE_ATTENTION)
             if jax.default_backend() == "tpu" and not dim_ok:
@@ -72,12 +72,12 @@ class PagedAttentionBackend:
             assert self.cfg.sliding_window_pattern is None
             window = self.cfg.sliding_window
         if isinstance(cache, QuantPagedKVCache):
-            if self.use_pallas and sinks is None \
-                    and not self.cfg.attn_logit_softcap:
+            if self.use_pallas:
                 from ..ops.paged_attention_tq_kernel import tq_paged_attention
                 out = tq_paged_attention(
                     q, cache, md, layer_idx, scale=self.scale,
-                    sliding_window=window,
+                    sliding_window=window, sinks=sinks,
+                    logit_softcap=self.cfg.attn_logit_softcap,
                     interpret=bool(envs.PALLAS_INTERPRET))
             else:
                 from ..ops.paged_attention import paged_attention_quant_ref

@@ -47,13 +47,14 @@ def _hadamard_signs_matrix(d: int) -> np.ndarray:
 
 def _kernel(
     layer, qsl, ctx, tile_first_seq, block_tables,
-    q_blk, kc_hbm, ks_hbm, kz_hbm, vc_hbm, vs_hbm, hmat_vmem,
+    q_blk, kc_hbm, ks_hbm, kz_hbm, vc_hbm, vs_hbm, hmat_vmem, sinks_smem,
     o_blk,
     kcb, ksb, kzb, vcb, vsb, acc, m_s, l_s, sems,
     *,
     bq: int, bs: int, g: int, d: int, scale: float, kg: int,
     k_signed: bool, k_bits: int, v_levels: tuple,
     sliding_window: Optional[int],
+    logit_softcap: Optional[float], has_sinks: bool,
 ):
     h = pl.program_id(0)
     ti = pl.program_id(1)
@@ -167,6 +168,8 @@ def _kernel(
                 s = jax.lax.dot_general(
                     q_blk[0, gi], kt, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                if logit_softcap:
+                    s = jnp.tanh(s / logit_softcap) * logit_softcap
                 s = jnp.where(mask, s, NEG_INF)
 
                 m_prev = m_s[gi][:, 0:1]
@@ -202,7 +205,14 @@ def _kernel(
     # finalize: one inverse-FWHT matmul per head-group undoes the rotation
     hm = hmat_vmem[:]                                  # [d, d] f32 (M)
     for gi in range(g):
-        out_rot = acc[gi] / jnp.maximum(l_s[gi][:, 0:1], 1e-30)
+        l = l_s[gi][:, 0:1]
+        if has_sinks:
+            # attention sink: a per-head virtual logit joins the softmax
+            # denominator only (no value row) — same contract as the
+            # bf16 kernel's finalization
+            sink = sinks_smem[0, h * g + gi]
+            l = l + jnp.exp(sink - m_s[gi][:, 0:1])
+        out_rot = acc[gi] / jnp.maximum(l, 1e-30)
         out = jax.lax.dot_general(
             out_rot, hm, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # out = r @ M.T
@@ -212,11 +222,12 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "codec_k", "codec_v", "bq",
-                     "interpret"))
+                     "logit_softcap", "has_sinks", "interpret"))
 def _tq_attention_call(
-    q_t, kc, ks, kz, vc, vs, hmat,
+    q_t, kc, ks, kz, vc, vs, hmat, sinks_arr,
     layer, qsl, ctx, tile_first_seq, block_tables,
-    *, scale, sliding_window, codec_k, codec_v, bq, interpret,
+    *, scale, sliding_window, codec_k, codec_v, bq, logit_softcap,
+    has_sinks, interpret,
 ):
     kvh, g, t2, d = q_t.shape
     _, _, nb, bs, _ = kc.shape
@@ -232,7 +243,8 @@ def _tq_attention_call(
     kernel = functools.partial(
         _kernel, bq=bq, bs=bs, g=g, d=d, scale=scale, kg=kg,
         k_signed=k_signed, k_bits=k_bits, v_levels=v_levels,
-        sliding_window=sliding_window)
+        sliding_window=sliding_window, logit_softcap=logit_softcap,
+        has_sinks=has_sinks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -246,6 +258,7 @@ def _tq_attention_call(
             pl.BlockSpec(memory_space=pl.ANY),      # v codes
             pl.BlockSpec(memory_space=pl.ANY),      # v scale
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hadamard matrix
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sinks
         ],
         out_specs=pl.BlockSpec((1, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
                                memory_space=pltpu.VMEM),
@@ -267,7 +280,7 @@ def _tq_attention_call(
         out_shape=jax.ShapeDtypeStruct((kvh, g, t2, d), q_t.dtype),
         interpret=interpret,
     )(layer, qsl, ctx, tile_first_seq, block_tables,
-      q_t, kc, ks, kz, vc, vs, hmat)
+      q_t, kc, ks, kz, vc, vs, hmat, sinks_arr)
 
 
 def tq_paged_attention(
@@ -278,6 +291,8 @@ def tq_paged_attention(
     *,
     scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    sinks: Optional[jax.Array] = None,      # [qh] f32 or None
+    logit_softcap: Optional[float] = None,
     interpret: bool = False,
     bq: Optional[int] = None,
 ) -> jax.Array:
@@ -292,6 +307,9 @@ def tq_paged_attention(
     qp = jnp.pad(q, ((0, t2 - t), (0, 0), (0, 0))) if t2 != t else q
     q_t = qp.reshape(t2, kvh, g, d).transpose(1, 2, 0, 3)
 
+    has_sinks = sinks is not None
+    sinks_arr = (sinks.astype(jnp.float32).reshape(1, qh) if has_sinks
+                 else jnp.zeros((1, qh), jnp.float32))
     hmat = jnp.asarray(_hadamard_signs_matrix(d))
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     # v_scale pool [L, KH, NB, bs, 1] viewed with a leading singleton so
@@ -302,11 +320,12 @@ def tq_paged_attention(
 
     out_t = _tq_attention_call(
         q_t.astype(jnp.bfloat16), cache.k_codes, cache.k_scale,
-        cache.k_zero, cache.v_codes, vs, hmat,
+        cache.k_zero, cache.v_codes, vs, hmat, sinks_arr,
         layer, md.query_start_loc, md.context_lens, md.tile_first_seq,
         md.block_tables,
         scale=float(scale), sliding_window=sliding_window,
         codec_k=cache.codec_k, codec_v=cache.codec_v, bq=bq,
-        interpret=interpret)
+        logit_softcap=(float(logit_softcap) if logit_softcap else None),
+        has_sinks=has_sinks, interpret=interpret)
     out = out_t.transpose(2, 0, 1, 3).reshape(t2, qh, d)
     return out[:t].astype(q.dtype)
