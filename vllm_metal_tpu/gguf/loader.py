@@ -77,6 +77,45 @@ def config_from_gguf(f: GGUFFile) -> ModelConfig:
             _meta(f, "expert_used_count", 2))
         if _meta(f, "expert_feed_forward_length"):
             cfg.intermediate_size = int(_meta(f, "expert_feed_forward_length"))
+    if arch == "deepseek2":
+        # llama.cpp serves DeepSeek V2 AND V3 under arch "deepseek2"
+        # (convert_hf_to_gguf.py DeepseekV2Model); MLA geometry keys:
+        cfg.is_mla = True
+        cfg.kv_lora_rank = int(_meta(f, "attention.kv_lora_rank", 512))
+        cfg.q_lora_rank = int(_meta(f, "attention.q_lora_rank", 0) or 0)
+        dr = int(_meta(f, "rope.dimension_count", 64))
+        cfg.qk_rope_head_dim = dr
+        # attention.key_length = qk_nope + qk_rope (head_dim above)
+        cfg.qk_nope_head_dim = cfg.head_dim - dr
+        cfg.v_head_dim = int(_meta(f, "attention.value_length",
+                                   cfg.head_dim - dr))
+        cfg.num_kv_heads = cfg.num_heads
+        x = cfg.extra
+        if n_exp:
+            x["moe_intermediate_size"] = cfg.intermediate_size
+            if _meta(f, "leading_dense_block_count"):
+                x["first_k_dense_replace"] = int(
+                    _meta(f, "leading_dense_block_count"))
+            if _meta(f, "expert_shared_count"):
+                x["n_shared_experts"] = int(_meta(f, "expert_shared_count"))
+            if _meta(f, "expert_weights_scale"):
+                x["routed_scaling_factor"] = float(
+                    _meta(f, "expert_weights_scale"))
+            if _meta(f, "expert_weights_norm") is not None:
+                x["norm_topk_prob"] = bool(_meta(f, "expert_weights_norm"))
+            if int(_meta(f, "expert_gating_func", 1) or 1) == 2:
+                # V3 flavor: sigmoid scores + top2sum group selection
+                x["scoring_func"] = "sigmoid"
+                x["group_sel"] = "top2sum"
+            if _meta(f, "attention.n_group") or _meta(f, "expert_group_count"):
+                x["n_group"] = int(_meta(f, "expert_group_count")
+                                   or _meta(f, "attention.n_group"))
+                x["topk_group"] = int(_meta(f, "expert_group_used_count", 1))
+        ylm = _meta(f, "rope.scaling.yarn_log_multiplier")
+        if ylm and rope_scaling and rope_scaling.get("factor", 1.0) > 1:
+            import math
+            mscale = float(ylm) * math.log(rope_scaling["factor"]) + 1.0
+            x["attn_scale"] = cfg.head_dim ** -0.5 * mscale * mscale
     if arch.startswith("gemma"):
         cfg.scale_embeddings = True
         sw = _meta(f, "attention.sliding_window")
@@ -243,12 +282,112 @@ def load_llama_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
     )
 
 
+def load_mla_weights(f: GGUFFile, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """DeepSeek-V2/V3 GGUF -> MLAWeights.
+
+    llama.cpp tensor names (constants LLM_ARCH_DEEPSEEK2): ``attn_q`` or
+    ``attn_q_a``/``attn_q_a_norm``/``attn_q_b``, ``attn_kv_a_mqa``,
+    ``attn_kv_a_norm``, ``attn_kv_b`` (split into the absorbed
+    w_uk/w_uv), ``attn_output``; MoE layers carry ``ffn_gate_inp`` +
+    ``ffn_{gate,up,down}_exps`` + ``ffn_{gate,up,down}_shexp`` +
+    V3's ``exp_probs_b`` score-correction bias.
+    """
+    from ..models.mla import MLALayerWeights, MLAWeights
+    from ..models.moe import MoEWeights
+
+    nh = cfg.num_heads
+    dn, dv, r = cfg.qk_nope_head_dim, cfg.v_head_dim, cfg.kv_lora_rank
+    x = cfg.extra
+    n_exp = x.get("num_experts", 0)
+    first_dense = int(x.get("first_k_dense_replace", 0)) if n_exp \
+        else cfg.num_layers
+
+    def lin(name):
+        return load_tensor(f, name, as_linear=True, dtype=dtype)
+
+    def vec(name):
+        return load_tensor(f, name, as_linear=False, dtype=dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"blk.{i}."
+        use_qlora = cfg.q_lora_rank > 0
+        # kv_b [nh*(dn+dv), R] dequantized dense: split into the absorbed
+        # per-head up-projections (same as models/hf_loader.py:417-420)
+        kv_b = np.asarray(
+            vec(p + "attn_kv_b.weight").astype(jnp.float32)
+        ).reshape(nh, dn + dv, r)
+        moe = None
+        if i >= first_dense and n_exp:
+            kw = dict(
+                router=lin(p + "ffn_gate_inp.weight"),
+                gate=load_moe_experts(f, p + "ffn_gate_exps.weight",
+                                      n_exp, dtype),
+                up=load_moe_experts(f, p + "ffn_up_exps.weight",
+                                    n_exp, dtype),
+                down=load_moe_experts(f, p + "ffn_down_exps.weight",
+                                      n_exp, dtype),
+                top_k=x.get("num_experts_per_tok", 2),
+                renormalize=bool(x.get("norm_topk_prob", True)),
+                scoring=x.get("scoring_func", "softmax"),
+                routed_scale=float(x.get("routed_scaling_factor", 1.0)),
+                n_group=int(x.get("n_group", 1)),
+                topk_group=int(x.get("topk_group", 1)),
+                group_sel=x.get("group_sel", "max"),
+            )
+            if p + "exp_probs_b.bias" in f:
+                kw["score_bias"] = vec(p + "exp_probs_b.bias")
+            if p + "ffn_gate_shexp.weight" in f:
+                kw["shared_gate"] = lin(p + "ffn_gate_shexp.weight")
+                kw["shared_up"] = lin(p + "ffn_up_shexp.weight")
+                kw["shared_down"] = lin(p + "ffn_down_shexp.weight")
+            moe = MoEWeights(**kw)
+        layers.append(MLALayerWeights(
+            attn_norm=vec(p + "attn_norm.weight"),
+            wq=None if use_qlora else lin(p + "attn_q.weight"),
+            wq_a=lin(p + "attn_q_a.weight") if use_qlora else None,
+            q_a_norm=vec(p + "attn_q_a_norm.weight") if use_qlora
+            else None,
+            wq_b=lin(p + "attn_q_b.weight") if use_qlora else None,
+            wkv_a=lin(p + "attn_kv_a_mqa.weight"),
+            kv_a_norm=vec(p + "attn_kv_a_norm.weight"),
+            w_uk=jnp.asarray(kv_b[:, :dn, :], dtype=dtype),
+            w_uv=jnp.asarray(np.transpose(kv_b[:, dn:, :], (0, 2, 1)),
+                             dtype=dtype),
+            wo=lin(p + "attn_output.weight"),
+            mlp_norm=vec(p + "ffn_norm.weight"),
+            gate=None if moe is not None else lin(p + "ffn_gate.weight"),
+            up=None if moe is not None else lin(p + "ffn_up.weight"),
+            down=None if moe is not None else lin(p + "ffn_down.weight"),
+            moe=moe,
+        ))
+
+    embedding = load_tensor(f, "token_embd.weight", as_linear=True,
+                            dtype=dtype, layout="nk")
+    if "output.weight" in f:
+        lm_head = lin("output.weight")
+    elif embedding.kind != "dense":
+        lm_head = embedding.to_kn()
+    else:
+        lm_head = None
+    return MLAWeights(
+        embedding=embedding,
+        layers=layers,
+        final_norm=vec("output_norm.weight"),
+        lm_head=lm_head,
+    )
+
+
 def load_model(path: str, dtype=jnp.bfloat16):
     """Open a GGUF file -> (model, weights, config)."""
     from ..models.registry import get_model_class
 
     f = GGUFFile(path)
     cfg = config_from_gguf(f)
+    if cfg.is_mla:
+        from ..models.mla import MLAModel
+        model = MLAModel(cfg)
+        return model, load_mla_weights(f, cfg, dtype=dtype), cfg
     if cfg.extra.get("num_experts"):
         from ..models.mixtral import MixtralModel
         model_cls = MixtralModel
