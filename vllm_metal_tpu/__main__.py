@@ -55,7 +55,21 @@ def main() -> None:
     s.add_argument("--max-loras", type=int, default=4)
     s.add_argument("--served-model-name", default=None)
 
+    lbp = sub.add_parser(
+        "serve-lb",
+        help="data-parallel front: load-balance over replica servers")
+    lbp.add_argument("--backends", required=True,
+                     help="comma-separated replica base URLs "
+                          "(e.g. http://h1:8000,http://h2:8000)")
+    lbp.add_argument("--host", default="0.0.0.0")
+    lbp.add_argument("--port", type=int, default=8080)
+
     args = ap.parse_args()
+    if args.cmd == "serve-lb":
+        from .server.lb import serve_lb
+        serve_lb([b.strip() for b in args.backends.split(",") if b.strip()],
+                 host=args.host, port=args.port)
+        return
     if args.cmd == "serve":
         from .parallel import init_multihost
         init_multihost(args.coordinator_address, args.num_hosts,
