@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from .. import envs
 from ..config import ModelConfig
@@ -33,14 +34,12 @@ class PagedAttentionBackend:
                 # registers (rope tail may be unaligned; Mosaic masks it)
                 dim_ok = model_cfg.kv_lora_rank % 128 == 0
             else:
-                # Mosaic pads non-128-multiple lane dims in registers, so
-                # any 8-aligned head dim <= 512 lowers (d=192 runs at 1.5
-                # lane tiles; sub-128 dims at reduced lane efficiency —
-                # both orders of magnitude above the jnp gather path; the
-                # reference templates head sizes {64..512},
+                # the pool lane-pads head_dim to a 128 multiple
+                # (kv_cache.allocate) and the attend seam pads q, so any
+                # head dim lowers; cap at 512 for VMEM tile budgets (the
+                # reference templates {64..512},
                 # pagedattention.metal:2310-2339)
-                dim_ok = (model_cfg.head_dim % 8 == 0
-                          and model_cfg.head_dim <= 512)
+                dim_ok = model_cfg.head_dim <= 512
             use_pallas = (jax.default_backend() == "tpu" and dim_ok
                           and not envs.FORCE_REFERENCE_ATTENTION)
             if jax.default_backend() == "tpu" and not dim_ok:
@@ -71,6 +70,13 @@ class PagedAttentionBackend:
             # impossible, so the config must be uniform
             assert self.cfg.sliding_window_pattern is None
             window = self.cfg.sliding_window
+        d = q.shape[-1]
+        dp = cache.head_dim
+        if not isinstance(cache, QuantPagedKVCache) and dp != d:
+            # lane-padded pool (see kv_cache.allocate): pad q to the
+            # pool's 128-multiple width; zero lanes are inert in QK/PV
+            # dots and the padded output columns slice away below
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, dp - d)))
         if isinstance(cache, QuantPagedKVCache):
             if self.use_pallas:
                 from ..ops.paged_attention_tq_kernel import tq_paged_attention
@@ -98,7 +104,7 @@ class PagedAttentionBackend:
                 q, cache.k[layer_idx], cache.v[layer_idx], md,
                 scale=self.scale, sliding_window=window, sinks=sinks,
                 logit_softcap=self.cfg.attn_logit_softcap)
-        return out, cache
+        return (out[..., :d] if dp != d else out), cache
 
     def attend_read(self, window_layer_idx: int, ref_layer: int,
                     q: jax.Array, cache: PagedKVCache,
@@ -108,17 +114,23 @@ class PagedAttentionBackend:
         ``/root/reference/vllm_metal/attention/impls/sdpa.py:221``).
         The sliding window comes from the *shared* layer's config."""
         window = self.cfg.layer_sliding_window(window_layer_idx)
+        d = q.shape[-1]
+        dp = cache.head_dim
+        if dp != d:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, dp - d)))
         if self.use_pallas:
             from ..ops.paged_attention_kernel import paged_attention
-            return paged_attention(
+            out = paged_attention(
                 q, cache.kv, md, ref_layer,
                 scale=self.scale, sliding_window=window,
                 logit_softcap=self.cfg.attn_logit_softcap,
                 interpret=bool(envs.PALLAS_INTERPRET))
-        return paged_attention_ref(
-            q, cache.k[ref_layer], cache.v[ref_layer], md,
-            scale=self.scale, sliding_window=window,
-            logit_softcap=self.cfg.attn_logit_softcap)
+        else:
+            out = paged_attention_ref(
+                q, cache.k[ref_layer], cache.v[ref_layer], md,
+                scale=self.scale, sliding_window=window,
+                logit_softcap=self.cfg.attn_logit_softcap)
+        return out[..., :d] if dp != d else out
 
     def make_attn_fn(self, cache: PagedKVCache, md: AttentionMetadata,
                      sinks_per_layer: Optional[list] = None

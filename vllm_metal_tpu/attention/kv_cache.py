@@ -60,10 +60,17 @@ class PagedKVCache:
     @classmethod
     def allocate(cls, model_cfg: ModelConfig, cache_cfg: CacheConfig,
                  num_blocks: int, dtype=jnp.bfloat16) -> "PagedKVCache":
+        # Lane-pad head_dim to a 128 multiple: TPU HBM stores arrays in
+        # (8, 128)-tiled layout, so a d=64 or d=192 pool physically
+        # occupies the padded lanes ANYWAY — allocating them explicitly
+        # costs no extra HBM and makes every DMA slice tile-aligned
+        # (Mosaic rejects sub-128 dim-5 slices: "Slice shape along
+        # dimension 5 must be aligned to tiling (128)").  Writers pad
+        # K/V rows; the attention seam pads q and slices the output.
+        d_pad = -(-model_cfg.head_dim // 128) * 128
         # YOCO: only the leading num_cached_layers own pool storage
         shape = (model_cfg.num_cached_layers, num_blocks, 2,
-                 model_cfg.num_kv_heads, cache_cfg.block_size,
-                 model_cfg.head_dim)
+                 model_cfg.num_kv_heads, cache_cfg.block_size, d_pad)
         return cls(kv=jnp.zeros(shape, dtype),
                    block_size=cache_cfg.block_size)
 
@@ -79,8 +86,11 @@ class PagedKVCache:
         import os
         import jax as _jax
         d = self.kv.shape[-1]
+        if k.shape[-1] != d:                    # lane-padded pool
+            pad = ((0, 0), (0, 0), (0, d - k.shape[-1]))
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
         if (_jax.default_backend() == "tpu"
-                and (d % 128 == 0 or (d % 8 == 0 and d <= 128))
                 and os.environ.get("VLLM_METAL_TPU_PALLAS_KV_WRITE") != "0"):
             # guaranteed in-place via the aliased Pallas write
             from ..ops.reshape_and_cache import reshape_and_cache

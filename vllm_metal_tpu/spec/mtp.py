@@ -107,15 +107,19 @@ class MTPProposer:
             hh = rms_norm(x, head.attn_norm, cfg.rms_norm_eps)
             q1 = linear(hh, head.wq).reshape(1, -1, cfg.head_dim)
             q1 = apply_rope(q1, md.positions[:1], model.inv_freq)
-            # pad the single draft row to the metadata's token_pad
+            # pad the single draft row to the metadata's token_pad, and
+            # q lanes to the pool's 128-multiple width (kv_cache.allocate)
             t_pad = md.positions.shape[0]
-            q = jnp.pad(q1, ((0, t_pad - 1), (0, 0), (0, 0)))
+            dp = kv_cache.shape[-1]
+            q = jnp.pad(q1, ((0, t_pad - 1), (0, 0),
+                             (0, dp - cfg.head_dim)))
             layer = cfg.num_layers - 1
             # split pool [L, NB, 2, KH, bs, D] -> ref layout [KH, NB, *, D]
             kc = jnp.swapaxes(kv_cache[layer, :, 0], 0, 1)
             vc = jnp.swapaxes(kv_cache[layer, :, 1], 0, 1)
             out = paged_attention_ref(
-                q, kc, vc, md, scale=cfg.head_dim ** -0.5)[:1]
+                q, kc, vc, md, scale=cfg.head_dim ** -0.5
+            )[:1, :, :cfg.head_dim]
             x = x + linear(out.reshape(1, -1), head.wo)
             hm = rms_norm(x, head.mlp_norm, cfg.rms_norm_eps)
             y = jax.nn.silu(linear(hm, head.gate).astype(jnp.float32)
