@@ -201,19 +201,29 @@ def bench_serving(runner, cfg, num_blocks: int, conc: int = 16,
     Measures what BASELINE.md's north star 4 actually asks for: tokens/s
     through scheduler + engine bookkeeping + dispatch (not the bare fused
     window), plus p50/p99 TTFT.  ``mixed`` samples half the requests at
-    temperature 0.8 (disables the fused window for those steps — the
-    honest mixed-traffic number)."""
+    temperature 0.8 — the sampled window program keeps multi-step
+    scheduling for those, so this is the honest mixed-traffic number."""
     from vllm_metal_tpu.engine.engine import LLMEngine
     from vllm_metal_tpu.engine.sampling_params import SamplingParams
 
     eng = LLMEngine(None, None, cfg, num_blocks=num_blocks, runner=runner)
+    eng.cfg.scheduler.decode_window = int(
+        os.environ.get("BENCH_WINDOW", "16"))
     rng = np.random.default_rng(0)
 
-    # warm the serving programs (prefill bucket + decode paths) off-clock
-    wid = eng.add_request([7] * prompt_len,
-                          SamplingParams(temperature=0.0, max_tokens=3))
+    # warm the serving programs off-clock with the SAME traffic shape:
+    # the batched prefill bucket plus the full pow2 window ladder
+    # (16, 8, 4, 2, 1) for both the greedy and sampled programs
+    warm = []
+    for i in range(conc):
+        temp = 0.8 if (mixed and i % 2) else 0.0
+        warm.append(eng.add_request(
+            [7] * prompt_len,
+            SamplingParams(temperature=temp,
+                           max_tokens=2 * eng.cfg.scheduler.decode_window)))
     while eng.has_unfinished():
         eng.step()
+    eng.num_window_steps = eng.num_single_steps = 0
 
     submit = {}
     ttft = {}

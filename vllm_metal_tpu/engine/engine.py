@@ -183,9 +183,10 @@ class LLMEngine:
                     key, lambda f=f: np.asarray(
                         model.encode_image(f.pixel_patches, f.grid_thw),
                         np.float32))
-            if np.asarray(f.embeds).shape[0] != n:
+            if np.asarray(f.embeds).shape[-2] != n:
                 raise ValueError(
-                    f"feature embeds rows {np.asarray(f.embeds).shape[0]} "
+                    f"feature embeds rows "
+                    f"{np.asarray(f.embeds).shape[-2]} "
                     f"!= grid tokens {n}")
         req.mm_features = sorted(features, key=lambda f: f.offset)
         req.mrope_positions, req.mrope_delta = mrope_positions(
@@ -382,12 +383,12 @@ class LLMEngine:
         embeds = []
         end = start + qlen
         for f in req.mm_features:
-            n = np.asarray(f.embeds).shape[0]
+            e = np.asarray(f.embeds)
+            n = e.shape[-2]      # [n, H] or [1+K, n, H] (DeepStack)
             s0 = max(start, f.offset)
             e0 = min(end, f.offset + n)
             if s0 < e0:
-                embeds.append(np.asarray(f.embeds)[s0 - f.offset:
-                                                   e0 - f.offset])
+                embeds.append(e[..., s0 - f.offset:e0 - f.offset, :])
                 rows.extend(range(s0 - start, e0 - start))
         pos = np.empty((3, qlen), np.int32)
         p_len = req.num_prompt_tokens
@@ -397,7 +398,7 @@ class LLMEngine:
                 pos[:, j] = req.mrope_positions[:, idx]
             else:
                 pos[:, j] = idx + req.mrope_delta
-        emb = np.concatenate(embeds, axis=0) if embeds else None
+        emb = np.concatenate(embeds, axis=-2) if embeds else None
         return emb, rows or None, pos
 
     def _window_size(self, sched) -> int:
@@ -424,7 +425,13 @@ class LLMEngine:
                 return 1
             w = min(w, req.params.max_tokens - len(req.output_token_ids))
             w = min(w, self.cfg.model.max_model_len - req.num_tokens)
-        return max(1, w)
+        if w < 1:
+            return 1
+        # round DOWN to a power of two: every (n_steps, s_pad) pair is a
+        # separate compiled program, so arbitrary remainders (e.g. the
+        # last 15 steps of a 96-token request) would each compile ~10s
+        # on first sight; pow2 bounds the program set to log2(window)
+        return 1 << (w.bit_length() - 1)
 
     def _step_window(self, sched, window: int) -> list[RequestOutput]:
         import numpy as np

@@ -455,11 +455,14 @@ class ModelRunner:
         chunks: list[np.ndarray] = []
         pos3 = np.zeros((3, t_pad), np.int32)
         t0 = 0
+        depth = 0                # 1 + K when any DeepStack chunk present
         for s in seqs:
             ql = len(s.query_tokens)
             if s.mm_rows:
                 emb = np.asarray(s.mm_embeds, np.float32)
-                assert emb.shape[0] == len(s.mm_rows)
+                assert emb.shape[-2] == len(s.mm_rows)
+                if emb.ndim == 3:
+                    depth = max(depth, emb.shape[0])
                 chunks.append(emb)
                 rows.extend(t0 + r for r in s.mm_rows)
             if s.mrope_positions is not None:
@@ -473,10 +476,20 @@ class ModelRunner:
         m_pad = 8
         while m_pad < n:
             m_pad *= 2
-        flat = np.zeros((m_pad, h), np.float32)
+        shape = (depth, m_pad, h) if depth else (m_pad, h)
+        flat = np.zeros(shape, np.float32)
         row_arr = np.full((m_pad,), -1, np.int32)
         if n:
-            flat[:n] = np.concatenate(chunks, axis=0)
+            if depth:
+                # a 2-D chunk in a DeepStack batch contributes zero
+                # injection rows (splice row only)
+                chunks = [c if c.ndim == 3 else np.concatenate(
+                    [c[None], np.zeros((depth - 1,) + c.shape,
+                                       np.float32)])
+                    for c in chunks]
+                flat[:, :n] = np.concatenate(chunks, axis=-2)
+            else:
+                flat[:n] = np.concatenate(chunks, axis=0)
             row_arr[:n] = rows
         return (jnp.asarray(flat), jnp.asarray(row_arr),
                 jnp.asarray(pos3))

@@ -132,19 +132,31 @@ def apply_rope(x: jax.Array, positions: jax.Array,
 
 
 def apply_mrope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
-                sections: tuple[int, ...]) -> jax.Array:
+                sections: tuple[int, ...],
+                interleaved: bool = False) -> jax.Array:
     """Multimodal (3-axis) rotate-half RoPE.
 
     x: [T, heads, head_dim]; positions: [3, T] (t/h/w axes);
     ``sections`` partitions the ``head_dim//2`` frequencies into
-    t/h/w groups (HF ``mrope_section`` semantics: frequency j uses the
-    axis whose section contains j).  With all three position rows equal
-    this reduces exactly to :func:`apply_rope`.
+    t/h/w groups.  ``interleaved=False``: HF ``mrope_section``
+    contiguous layout [T..T H..H W..W] (Qwen2/2.5-VL);
+    ``interleaved=True``: Qwen3-VL layout — H on dims 1,4,..,<3*sec_h,
+    W on dims 2,5,..,<3*sec_w, T everywhere else (preserves frequency
+    continuity; transformers ``apply_interleaved_mrope``).  With all
+    three position rows equal both reduce exactly to :func:`apply_rope`.
     """
+    import numpy as np
     dt = x.dtype
     assert sum(sections) == inv_freq.shape[0], (sections, inv_freq.shape)
-    sec_id = jnp.repeat(jnp.arange(len(sections)), jnp.asarray(sections),
-                        total_repeat_length=inv_freq.shape[0])
+    if interleaved:
+        ids = np.zeros((inv_freq.shape[0],), np.int32)
+        ids[1:3 * sections[1]:3] = 1
+        ids[2:3 * sections[2]:3] = 2
+        sec_id = jnp.asarray(ids)
+    else:
+        sec_id = jnp.repeat(jnp.arange(len(sections)),
+                            jnp.asarray(sections),
+                            total_repeat_length=inv_freq.shape[0])
     # [T, hd/2]: per-frequency positions chosen by section axis
     pos = positions.astype(jnp.float32)[sec_id, :].T
     angles = pos * inv_freq[None, :]
@@ -171,7 +183,11 @@ def activation(name: str):
 
 def embed_lookup(table: QuantLinear, ids: jax.Array,
                  dtype=jnp.bfloat16) -> jax.Array:
-    """Row gather from a (possibly quantized) embedding table [V, H]."""
+    """Row gather from a (possibly quantized) embedding table [V, H].
+
+    bf16 output is the serving precision policy (activations bf16,
+    products f32-accumulated) — parity tests vs f32 torch references
+    budget ~2e-3 activation-rounding noise (atol 2e-2 suite-wide)."""
     if table.kind == "dense":
         return table.w[ids].astype(dtype)
     assert table.layout == "nk", \

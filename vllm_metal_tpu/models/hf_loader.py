@@ -49,6 +49,10 @@ VL_ARCHS = {
     "Qwen2VLForConditionalGeneration",
     "Qwen2_5_VLForConditionalGeneration",
 }
+# DeepStack VL architectures routed to qwen3_vl_mm.load_hf_qwen3vl_model
+VL3_ARCHS = {
+    "Qwen3VLForConditionalGeneration",
+}
 
 
 def config_from_hf(path: str) -> ModelConfig:

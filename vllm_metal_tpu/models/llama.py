@@ -76,6 +76,7 @@ class LlamaModel:
         # multimodal 3-axis rope (Qwen-VL family); None = plain rope
         sec = cfg.extra.get("mrope_section")
         self.mrope_sections = tuple(sec) if sec else None
+        self.mrope_interleaved = bool(cfg.extra.get("mrope_interleaved"))
 
     # -- weight init (tests) ------------------------------------------------
     def init_random(self, key: jax.Array, dtype=jnp.bfloat16) -> LlamaWeights:
@@ -156,8 +157,10 @@ class LlamaModel:
             from .common import apply_mrope
             assert self.mrope_sections is not None, \
                 "2-D positions need cfg.extra['mrope_section']"
-            q = apply_mrope(q, positions, self.inv_freq, self.mrope_sections)
-            k = apply_mrope(k, positions, self.inv_freq, self.mrope_sections)
+            q = apply_mrope(q, positions, self.inv_freq,
+                            self.mrope_sections, self.mrope_interleaved)
+            k = apply_mrope(k, positions, self.inv_freq,
+                            self.mrope_sections, self.mrope_interleaved)
         else:
             q = apply_rope(q, positions, self.inv_freq)
             k = apply_rope(k, positions, self.inv_freq)

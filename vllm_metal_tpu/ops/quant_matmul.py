@@ -417,15 +417,29 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     n_k = halved // tb
     tm = m if m <= 128 else 128
     tn = _largest_tile(n, _GROUP_TN_TARGET)
-    if quantized:
-        # Mosaic keeps BOTH nibble-halves' per-group [tm, tn] f32 dot
-        # results live (MXU-ahead-of-VPU pipelining) plus the accumulator
-        # and out block on the scoped-vmem stack; cap tn so the stack
-        # stays under the 16 MB limit (measured: tm=64, tn=4096 ->
-        # 20.77 MB scoped alloc; the decode path tm<=16, tn=7168 fits).
-        live = (2 * (tb // gs) + 2) * 4 * tm
-        while tn > 1024 and live * tn > 11 * 1024 * 1024:
-            tn = max(1024, (tn // 2 + 127) // 128 * 128)
+    # Scoped-VMEM byte model: in/out blocks (double-buffered) + scratch
+    # + Mosaic's live per-group dot results (both nibble halves').
+    # Calibration v5e: (tm=64, tn=4096) -> 20.77 MB actual, (64, 2048)
+    # -> 16.57 MB, both over the 16 MB limit; model tracks ~1.2 MB low,
+    # so the cap is 14.5 MB (keeps the proven decode config
+    # tm=16/tn=7168 at model 14.0 MB while pushing tm=64 to tn=1024).
+    halves = 2 if kind == "q4" else 1
+    gtile_b = tb // gs
+    wbytes = 1 if quantized or kind == "q4" else w3.dtype.itemsize
+
+    def stack_bytes(tn_):
+        xb = 2 * tm * kdim * 2                    # x blocks
+        xt = kdim * tm * (1 if quantized else 2)  # x^T scratch
+        gsum = (kdim // gs) * tm * 4              # group sums
+        wb = 2 * tb * tn_ * wbytes                # packed w blocks
+        sb = 4 * 2 * gtile_b * tn_ * 2            # scale/bias blocks
+        outb = 2 * tm * tn_ * 2
+        accb = tm * tn_ * 4
+        live = halves * gtile_b * tm * tn_ * 4    # in-flight group dots
+        return xb + xt + gsum + wb + sb + outb + accb + live
+
+    while tn > 1024 and stack_bytes(tn) > 14_500_000:
+        tn = max(1024, (tn // 2 + 127) // 128 * 128)
     grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), n_k)
     gtile = tb // gs
 
