@@ -132,3 +132,25 @@ def test_decode_window_matches_per_step():
     win = eng.generate(p, sp)
     for k in base:
         assert base[k].token_ids == win[k].token_ids, k
+
+
+def test_decode_window_sampled_matches_per_step():
+    """Sampled windows (incl. the chained double-window with the
+    device-resident penalty-ring handoff) emit exactly the per-step
+    tokens: the sampler is deterministic per (seed, step) and the ring
+    content must agree between host-rebuilt and device-threaded paths."""
+    import dataclasses
+    p = [[3, 14, 15, 92, 65], [35, 89, 79, 32]]
+    sp = SamplingParams(temperature=0.9, top_k=8, seed=5,
+                        presence_penalty=0.4, repetition_penalty=1.1,
+                        max_tokens=17, ignore_eos=True)
+    base = make_engine(seed=11).generate(p, sp)
+
+    eng = make_engine(seed=11)
+    eng.cfg = dataclasses.replace(
+        eng.cfg, scheduler=dataclasses.replace(eng.cfg.scheduler,
+                                               decode_window=4))
+    win = eng.generate(p, sp)
+    for k in base:
+        assert base[k].token_ids == win[k].token_ids, k
+    assert eng.num_window_steps > 0

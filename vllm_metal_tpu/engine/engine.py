@@ -434,12 +434,27 @@ class LLMEngine:
         return 1 << (w.bit_length() - 1)
 
     def _step_window(self, sched, window: int) -> list[RequestOutput]:
+        import dataclasses as _dc
+
         import numpy as np
         reqs = [s.request for s in sched.scheduled]
+        # chain two windows when every request has the headroom: window 2
+        # dispatches immediately with device-resident token/ring feedback,
+        # overlapping this host loop with device execution (stop-token
+        # overshoot wastes at most one window of compute, same class as
+        # the in-window overshoot the window path already accepts)
+        chain = 1
+        if window == self.cfg.scheduler.decode_window and all(
+                (req.params.max_tokens - len(req.output_token_ids)
+                 >= 2 * window)
+                and (self.cfg.model.max_model_len - req.num_tokens
+                     >= 2 * window)
+                for req in reqs):
+            chain = 2
         for req in reqs:
             if not self.bm.append_slots(req.request_id,
-                                        req.num_tokens + window):
-                window = 1
+                                        req.num_tokens + chain * window):
+                window, chain = 1, 1
                 break
         inputs = []
         for req in reqs:
@@ -453,40 +468,62 @@ class LLMEngine:
                 params=req.params, state_slot=state_slot,
                 reset_state=fresh,
                 recent_tokens=req.output_token_ids))
-        outs, lps = self.runner.execute_decode_window(inputs, window)
+        def batches():
+            """Token batches to consume; chained mode fetches window 1
+            while window 2 still executes (the host token loop below
+            overlaps device time — the reference's async
+            execute_model/sample_tokens split, at window granularity)."""
+            if chain == 1:
+                yield self.runner.execute_decode_window(inputs, window)
+                return
+            h1 = self.runner.execute_decode_window(inputs, window,
+                                                   sync=False)
+            inputs2 = [_dc.replace(s,
+                                   context_len=s.context_len + window,
+                                   reset_state=False) for s in inputs]
+            h2 = self.runner.execute_decode_window(
+                inputs2, window, feed=h1["feed"], sync=False)
+            (o1, l1), = self.runner.fetch_windows([h1])
+            yield o1, l1
+            (o2, l2), = self.runner.fetch_windows([h2])
+            yield o2, l2
+
+        emitted: list[list[int]] = [[] for _ in reqs]
+        stops = [None] * len(reqs)
+        for outs, lps in batches():
+            for i, req in enumerate(reqs):
+                if stops[i] is not None:
+                    continue
+                for j in range(outs.shape[0]):
+                    tok = int(outs[j, i])
+                    req.output_token_ids.append(tok)
+                    req.logprobs.append(
+                        0.0 if lps is None else float(lps[j, i]))
+                    emitted[i].append(tok)
+                    self.num_generated_tokens += 1
+                    stops[i] = req.check_stop(self.cfg.model.max_model_len)
+                    if stops[i] is not None:
+                        break
 
         results: list[RequestOutput] = []
         now = time.monotonic()
         for i, req in enumerate(reqs):
-            emitted: list[int] = []
-            stop = None
-            accepted = 0
-            for j in range(window):
-                tok = int(outs[j, i])
-                req.output_token_ids.append(tok)
-                req.logprobs.append(0.0 if lps is None else float(lps[j, i]))
-                emitted.append(tok)
-                accepted += 1
-                self.num_generated_tokens += 1
-                stop = req.check_stop(self.cfg.model.max_model_len)
-                if stop is not None:
-                    break
-            req.num_computed_tokens += accepted
+            req.num_computed_tokens += len(emitted[i])
             if req.first_token_time is None:
                 req.first_token_time = now
             self.bm.commit_full_blocks(
                 req.request_id, req.all_token_ids,
                 min(req.num_computed_tokens, req.num_tokens))
-            finished = stop is not None
+            finished = stops[i] is not None
             if finished:
-                self.scheduler.finish_request(req, stop)
+                self.scheduler.finish_request(req, stops[i])
                 self.requests.pop(req.request_id, None)
                 self._release_state_slot(req.request_id)
             results.append(RequestOutput(
                 request_id=req.request_id,
-                new_token_ids=emitted,
+                new_token_ids=emitted[i],
                 finished=finished,
-                finish_reason=_FINISH_REASON.get(stop),
+                finish_reason=_FINISH_REASON.get(stops[i]),
                 token_ids=list(req.output_token_ids),
                 logprobs=list(req.logprobs),
                 num_prompt_tokens=req.num_prompt_tokens,

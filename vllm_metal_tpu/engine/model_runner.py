@@ -340,10 +340,11 @@ class ModelRunner:
                         weights, cache, tokens, ctx_lens, md0, active)
                     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     outs.append(tokens)
-                # zero logprobs (greedy): a real array keeps the output
-                # pytree uniform for the shard_map out_specs
+                # zero logprobs/ring (greedy): real arrays keep the
+                # output pytree uniform for the shard_map out_specs
                 return cache, jnp.stack(outs), \
-                    jnp.zeros((n_steps, s_pad), jnp.float32)
+                    jnp.zeros((n_steps, s_pad), jnp.float32), \
+                    jnp.zeros((s_pad, 1), jnp.int32)
         else:
             def window(weights, cache, tokens, ctx_lens, md0, st,
                        base_lens, step0):
@@ -365,7 +366,10 @@ class ModelRunner:
                     st = dataclasses.replace(st, recent_tokens=recent)
                     outs.append(tokens)
                     lps.append(lp)
-                return cache, jnp.stack(outs), jnp.stack(lps)
+                # the final ring feeds a CHAINED next window (device-side
+                # penalty-state handoff, no host round trip)
+                return (cache, jnp.stack(outs), jnp.stack(lps),
+                        st.recent_tokens)
 
         if self.mesh is not None:
             # same seams as _step_fn: sharded weights + kv-head-sharded
@@ -380,7 +384,7 @@ class ModelRunner:
             window = shard_map(
                 window, mesh=self.mesh,
                 in_specs=(w_specs, c_specs) + (P(),) * n_in,
-                out_specs=(c_specs, P(), P()),
+                out_specs=(c_specs, P(), P(), P()),
                 check_vma=False)
         window = functools.partial(jax.jit, donate_argnums=(1,))(window)
 
@@ -388,14 +392,24 @@ class ModelRunner:
         return window
 
     def execute_decode_window(
-            self, seqs: list[SeqStepInput], n_steps: int
-    ) -> tuple[np.ndarray, Optional[np.ndarray]]:
+            self, seqs: list[SeqStepInput], n_steps: int,
+            feed: Optional[dict] = None, sync: bool = True):
         """Run n pure-decode steps in one dispatch.
 
         Every seq must be decode-ready (query = its last committed token)
-        with block tables covering context + n_steps slots.  Returns
-        (sampled ids [n_steps, num_seqs], logprobs or None for the
-        all-greedy program)."""
+        with block tables covering context + n_steps slots.  With
+        ``sync=True`` returns (sampled ids [n_steps, num_seqs], logprobs
+        or None for the all-greedy program).
+
+        ``sync=False`` returns a HANDLE (device arrays unfetched) whose
+        ``"feed"`` entry lets the NEXT window dispatch immediately with
+        device-resident token/penalty-ring state — window chaining: the
+        host consumes window N's tokens while window N+1 executes (the
+        engine's materialization of the reference's async
+        execute_model/sample_tokens split, at window granularity).
+        Fetch handles with :func:`fetch_windows`.  A chained call passes
+        the previous handle's ``feed``; its SeqStepInput context_lens
+        must already account for the previous window's tokens."""
         assert all(len(s.query_tokens) == 1 for s in seqs)
         s_pad = self._seq_bucket(len(seqs))
         md = build_metadata(
@@ -415,31 +429,60 @@ class ModelRunner:
         for i, s in enumerate(seqs):
             tokens[i] = s.query_tokens[0]
             ctx[i] = s.context_len
-        if all(s.params.greedy for s in seqs):
+        tok_in = (feed["tokens"] if feed is not None
+                  else jnp.asarray(tokens))
+        greedy = all(s.params.greedy for s in seqs)
+        base = None
+        if greedy:
             window = self._window_fn(n_steps, s_pad)
-            self.cache, outs, _ = window(
-                self.weights, self.cache, jnp.asarray(tokens),
-                jnp.asarray(ctx), md)
+            self.cache, outs, lps, ring = window(
+                self.weights, self.cache, tok_in, jnp.asarray(ctx), md)
             lps = None
         else:
-            ring = 64
-            recent = np.full((s_pad, ring), -1, np.int32)
-            base = np.zeros((s_pad,), np.int32)
-            for i, s in enumerate(seqs):
-                r = s.recent_tokens[-ring:]
-                if r:
-                    recent[i, :len(r)] = r
-                base[i] = len(r)
+            rw = 64
+            if feed is not None and feed.get("ring") is not None:
+                recent = feed["ring"]
+                base = feed["base"]
+            else:
+                recent = np.full((s_pad, rw), -1, np.int32)
+                base = np.zeros((s_pad,), np.int32)
+                for i, s in enumerate(seqs):
+                    r = s.recent_tokens[-rw:]
+                    if r:
+                        recent[i, :len(r)] = r
+                    base[i] = len(r)
             st = SamplingTensors.from_lists(
                 [s.params for s in seqs], s_pad, recent_tokens=recent)
             window = self._window_fn(n_steps, s_pad, sampled=True)
-            self.cache, outs, lps = window(
-                self.weights, self.cache, jnp.asarray(tokens),
-                jnp.asarray(ctx), md, st, jnp.asarray(base),
+            self.cache, outs, lps, ring = window(
+                self.weights, self.cache, tok_in, jnp.asarray(ctx), md,
+                st, jnp.asarray(base),
                 jnp.asarray(self.step_counter, jnp.int32))
         self.step_counter += n_steps
-        outs_lps = None if lps is None else np.asarray(lps)[:, :len(seqs)]
+        if not sync:
+            return {
+                "outs": outs, "lps": None if greedy else lps,
+                "n": len(seqs),
+                "feed": {"tokens": outs[n_steps - 1],
+                         "ring": None if greedy else ring,
+                         "base": None if greedy else base + n_steps},
+            }
+        outs_lps = None if greedy else np.asarray(lps)[:, :len(seqs)]
         return np.asarray(outs)[:, :len(seqs)], outs_lps
+
+    @staticmethod
+    def fetch_windows(handles: list) -> list:
+        """One batched D2H for a chain of window handles ->
+        [(outs [n_steps, n], lps or None), ...]."""
+        fetch = [(h["outs"],) + (() if h["lps"] is None else (h["lps"],))
+                 for h in handles]
+        host = jax.device_get(fetch)
+        res = []
+        for h, parts in zip(handles, host):
+            outs = parts[0][:, :h["n"]]
+            lps = parts[1][:, :h["n"]] if h["lps"] is not None else None
+            res.append((outs, lps))
+        return res
 
     # ------------------------------------------------------------------
     def _mm_extras(self, seqs: list[SeqStepInput], t_pad: int):
