@@ -49,13 +49,13 @@ def make_q4(key, n, k, dtype=jnp.bfloat16):
 
 
 def make_q4_nk(key, n, k, dtype=jnp.bfloat16):
-    """Row-gatherable "nk" q4 (embedding tables)."""
+    """Row-gatherable "nk" q4 (embedding tables; every leaf [N, ...])."""
     from vllm_metal_tpu.ops.quant_matmul import QuantLinear
     k1, k2, k3 = jax.random.split(key, 3)
     packed = jax.random.bits(k1, (n, k // 2), jnp.uint8)
-    scales = (jax.random.uniform(k2, (k // 32, n), jnp.float32) * 0.01
+    scales = (jax.random.uniform(k2, (n, k // 32), jnp.float32) * 0.01
               ).astype(dtype)
-    biases = (jax.random.uniform(k3, (k // 32, n), jnp.float32) * -0.08
+    biases = (jax.random.uniform(k3, (n, k // 32), jnp.float32) * -0.08
               ).astype(dtype)
     return QuantLinear(kind="q4", w=packed, scales=scales, biases=biases,
                        group_size=32, layout="nk")
@@ -150,17 +150,29 @@ def bench_decode_fused(runner, cfg, batch: int, ctx: int, steps: int):
                              block_table=tables[i], params=gp)
                 for i in range(batch)]
 
-    # compile + warm
-    runner.execute_decode_window(seqs(ctx + 1), window)
+    # compile + warm (both the cold and the chained program)
+    h = runner.execute_decode_window(seqs(ctx + 1), window, sync=False)
+    h = runner.execute_decode_window(seqs(ctx + 1 + window), window,
+                                     sync=False, feed=h["feed"])
+    runner.fetch_windows([h])
     n_windows = max(1, steps // window)
-    # best of 2 passes: dispatch latency through the tunnel fluctuates
-    # run-to-run (shared terminal); the max is the machine's capability
+    # best of 2 passes.  Windows CHAIN via device-resident feed (the
+    # production serving path): one host->device dispatch per window but
+    # a single batched fetch at the end, so the tunnel's round-trip
+    # latency (~1.4 ms in r3, ~28 ms in r4!) is paid once per pass, not
+    # once per window.  Timing includes that one RTT — reported tok/s is
+    # what an engine consuming handles asynchronously sustains.
     best = float("inf")
     for p in range(2):
+        handles = []
         t0 = time.perf_counter()
+        h = None
         for wdx in range(n_windows):
-            runner.execute_decode_window(
-                seqs(ctx + 1 + (p * n_windows + wdx + 1) * window), window)
+            h = runner.execute_decode_window(
+                seqs(ctx + 1 + (p * n_windows + wdx) * window), window,
+                sync=False, feed=None if h is None else h["feed"])
+            handles.append(h)
+        runner.fetch_windows(handles)
         best = min(best, time.perf_counter() - t0)
     n = n_windows * window
     return batch * n / best, best / n

@@ -57,13 +57,29 @@ def time_window(runner, cfg, args, iters=4):
                              block_table=tables[i], params=gp)
                 for i in range(args.batch)]
 
-    runner.execute_decode_window(seqs(args.ctx + 1), w)  # compile
+    # chained windows, one fetch per pass (r4: tunnel RTT is ~28 ms, a
+    # per-window sync would read ~3.5 ms/step of pure host latency)
+    h = runner.execute_decode_window(seqs(args.ctx + 1), w, sync=False)
+    h = runner.execute_decode_window(seqs(args.ctx + 1 + w), w,
+                                     sync=False, feed=h["feed"])
+    runner.fetch_windows([h])  # compile both programs
+    n_win = 6
     best = float("inf")
     for it in range(iters):
         t0 = time.perf_counter()
-        runner.execute_decode_window(seqs(args.ctx + 1 + (it + 1) * w), w)
+        h = None
+        hs = []
+        for wd in range(n_win):
+            # cycle cl within the block-table coverage (timing only —
+            # KV contents are irrelevant, table bounds are not)
+            cl = args.ctx + 1 + ((it * n_win + wd) % 3) * w
+            h = runner.execute_decode_window(
+                seqs(cl), w, sync=False,
+                feed=None if h is None else h["feed"])
+            hs.append(h)
+        runner.fetch_windows(hs)
         best = min(best, time.perf_counter() - t0)
-    return best / w
+    return best / (w * n_win)
 
 
 def main():

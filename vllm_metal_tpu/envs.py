@@ -46,6 +46,12 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], Callable[[], Any]]] = {
     # on the centered term — the group-bias term stays exact).  Default
     # ON for decode-sized batches; set =0 for bit-exact bf16 activations.
     "VLLM_METAL_TPU_W4A8": (_bool, lambda: True),
+    # Groups per MXU dot in the group-dot quant matmul (0 = auto: the
+    # widest power of two with G*tm <= 128 rows).  G>1 stacks G scale
+    # groups into one block-diagonal dot at full K depth (G*32) instead
+    # of G separate K=32 dots — trades G x nominal MACs for ~4 x MXU
+    # utilization.  Set =1 to force the legacy per-group dots.
+    "VLLM_METAL_TPU_QMM_SG": (int, lambda: 0),
     # Server bind host/port defaults.
     "VLLM_METAL_TPU_HOST": (str, lambda: "0.0.0.0"),
     "VLLM_METAL_TPU_PORT": (int, lambda: 8000),

@@ -199,11 +199,12 @@ def embed_lookup(table: QuantLinear, ids: jax.Array,
         q = table.w[ids].astype(jnp.float32)
     else:
         raise ValueError(table.kind)
-    # scales are [H//G, V]: gather columns then repeat along the feature dim
-    s = jnp.repeat(table.scales[:, ids].T.astype(jnp.float32),
+    # scales are [V, H//G] (row-major like w: a column gather over the
+    # 128k-lane vocab axis measured 0.88 ms/step on v5e)
+    s = jnp.repeat(table.scales[ids].astype(jnp.float32),
                    table.group_size, axis=-1)
     w = q * s
     if table.biases is not None:
-        w = w + jnp.repeat(table.biases[:, ids].T.astype(jnp.float32),
+        w = w + jnp.repeat(table.biases[ids].astype(jnp.float32),
                            table.group_size, axis=-1)
     return w.astype(dtype)

@@ -74,9 +74,12 @@ from ..utils import static_dataclass
 class QuantLinear:
     """A (possibly quantized) linear weight as a pytree.
 
-    layout "kn": w ``[K(/2), N]`` (matmul weights — kernel path).
-    layout "nk": w ``[N, K(/2)]`` (embedding tables / legacy; gather or
-    reference path only).  scales/biases are ``[K//G, N]`` in both.
+    layout "kn": w ``[K(/2), N]`` (matmul weights — kernel path);
+    scales/biases ``[K//G, N]``.
+    layout "nk": w ``[N, K(/2)]``, scales/biases ``[N, K//G]`` (embedding
+    tables; EVERY leaf is row-major in N so lookups are pure row gathers —
+    a column gather over a 128k-lane vocab axis measured 0.88 ms/step on
+    v5e).  Gather or reference path only.
     """
 
     kind: str                      # "dense" | "q4" | "q8"
@@ -115,8 +118,13 @@ class QuantLinear:
         if self.kind == "dense" or self.layout == "kn":
             return self
         axes = (0, 2, 1) if self.stacked else (1, 0)
+
+        def t(a):
+            return None if a is None else jnp.transpose(a, axes)
+
         return dataclasses.replace(
-            self, w=jnp.transpose(self.w, axes), layout="kn")
+            self, w=t(self.w), scales=t(self.scales), biases=t(self.biases),
+            layout="kn")
 
     @classmethod
     def dense(cls, w: jax.Array) -> "QuantLinear":
@@ -126,22 +134,25 @@ class QuantLinear:
     def from_packed(cls, p, dtype=jnp.bfloat16,
                     layout: str = "kn") -> "QuantLinear":
         """Build from gguf.quants PackedQ4/PackedQ8 (numpy, [N, K//2] packed
-        + [N, K//G] scales) — transposes into the kernel layout."""
+        + [N, K//G] scales) — "kn" transposes every leaf into the kernel
+        layout; "nk" keeps them all row-major in N (gather layout)."""
         import numpy as np
 
         def t(a):
+            if layout == "nk":
+                return jnp.asarray(a)
             return jnp.asarray(np.ascontiguousarray(a.T))
 
         def ts(a):
+            if layout == "nk":
+                return jnp.asarray(a.astype(dtype))
             return jnp.asarray(np.ascontiguousarray(a.T).astype(dtype))
 
         if hasattr(p, "packed"):          # PackedQ4
-            w = t(p.packed) if layout == "kn" else jnp.asarray(p.packed)
-            return cls(kind="q4", w=w, scales=ts(p.scales),
+            return cls(kind="q4", w=t(p.packed), scales=ts(p.scales),
                        biases=ts(p.biases), group_size=p.group_size,
                        layout=layout)
-        w = t(p.q) if layout == "kn" else jnp.asarray(p.q)
-        return cls(kind="q8", w=w, scales=ts(p.scales),
+        return cls(kind="q8", w=t(p.q), scales=ts(p.scales),
                    biases=None if p.biases is None else ts(p.biases),
                    group_size=p.group_size, layout=layout)
 
@@ -184,10 +195,15 @@ def dequantize_ref(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
         q = w.astype(jnp.float32)
     else:
         raise ValueError(ql.kind)
-    out = q * _expand_groups(ql.scales.astype(jnp.float32), ql.group_size)
+
+    def expand(s):
+        if ql.layout == "nk":     # [N, K//G] -> [N, K]
+            return jnp.repeat(s.astype(jnp.float32), ql.group_size, axis=-1)
+        return _expand_groups(s.astype(jnp.float32), ql.group_size)
+
+    out = q * expand(ql.scales)
     if ql.biases is not None:
-        out = out + _expand_groups(ql.biases.astype(jnp.float32),
-                                   ql.group_size)
+        out = out + expand(ql.biases)
     return out.astype(dtype)
 
 
@@ -213,7 +229,7 @@ def _nibbles(pw):
 def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
                   bhi_ref, o_ref, acc_ref, xt_ref, gsum_ref, sx_ref,
                   *, n_k: int, gs: int, quantized: bool, kind: str,
-                  has_bias: bool, kdim: int, tb: int):
+                  has_bias: bool, kdim: int, tb: int, sg: int):
     """Decode-path kernel; grid (mi, j, k).  Tiles (leading 1 = layer):
       x        [tm, K]     raw activations (bf16); index map constant in
                            (j, k) so the block DMAs once per mi
@@ -226,20 +242,39 @@ def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
     ~25 us per matmul call (measured v5e: 4.2 ms/step of glue at 8B
     decode, > half the matmul kernel time itself).
 
+    ``sg`` = scale groups folded into one MXU dot.  With sg == 1 the
+    classic path runs: one K=32 dot per group, rescaled on the [tm, tn]
+    output.  That wastes 4x MXU depth (K=32 of 128) *and* 8x rows at
+    decode sizes (tm=16 of 128) — measured 2.8x the tile's DMA time.
+    With sg > 1 the prep step instead writes a BLOCK-DIAGONAL activation
+    matrix: for each super-group of S = sg*gs contiguous K elements,
+    ``xbd[sgi] [sg*tm, S]`` holds x rows replicated into sg row-blocks,
+    block g masked to the gs lanes of group g.  One dot
+    ``xbd[sgi] @ q[S, tn]`` then yields all sg per-group partial products
+    stacked along rows — full MXU depth, sg*tm rows — and the per-group
+    scales fold on [tm, tn] row-blocks of the output exactly as before.
+    Nominal MACs grow sg x (zeros off the diagonal), but utilization
+    grows ~(128/gs) x, a large net win for tm <= 32 (decode).
+
+    Scratch (sg == 1):
       xt    [K, tm]  x^T   (int8 codes when quantized, bf16 otherwise)
+    Scratch (sg > 1):
+      xt    [K//S, sg*tm, S] block-diagonal x (int8 codes / bf16)
+    Shared:
       gsum  [K//gs, tm] f32 per-group sums of exact x (pre-divided by sx
                            when quantized; the output fold restores it)
       sx    [1, tm]  f32   per-token |x|max/127 (absent when exact)
 
-    acc += sum_g s[g] * (xt_g^T @ q_g)  (+ gsum @ b); out = sx^T * acc.
+    acc += sum_g s[g] * (x_g @ q_g)  (+ gsum @ b); out = sx^T * acc.
     """
     del idx_ref
     k = pl.program_id(2)
     first = (pl.program_id(1) == 0) & (k == 0)
+    ssz = sg * gs                     # super-group K span
+    tm = x_ref.shape[0]
 
     @pl.when(first)
     def _():
-        tm = x_ref.shape[0]
         # transpose via MXU: dot_general(x [tm,K], I [tm,tm]) over dim 0
         eye = (jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
@@ -252,12 +287,34 @@ def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
             sx = jnp.maximum(jnp.max(jnp.abs(xt), axis=0, keepdims=True),
                              1e-6) / 127.0                   # [1, tm]
             sx_ref[:] = sx
-            xt_ref[:] = jnp.clip(jnp.round(xt / sx), -127, 127
-                                 ).astype(jnp.int8)
             gsum_ref[:] = gsum / sx
         else:
-            xt_ref[:] = xt.astype(xt_ref.dtype)
             gsum_ref[:] = gsum
+        if sg == 1:
+            if quantized:
+                xt_ref[:] = jnp.clip(jnp.round(xt / sx_ref[:]), -127, 127
+                                     ).astype(jnp.int8)
+            else:
+                xt_ref[:] = xt.astype(xt_ref.dtype)
+        else:
+            xrows = x_ref[:].astype(jnp.float32)             # [tm, K]
+            if quantized:
+                sxr = jnp.maximum(
+                    jnp.max(jnp.abs(xrows), axis=1, keepdims=True),
+                    1e-6) / 127.0                            # [tm, 1]
+                qx = jnp.clip(jnp.round(xrows / sxr), -127, 127
+                              ).astype(jnp.int8)
+            else:
+                qx = xrows.astype(jnp.bfloat16)
+            mask = (jax.lax.broadcasted_iota(
+                        jnp.int32, (sg * tm, ssz), 1) // gs
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (sg * tm, ssz), 0) // tm)
+            zero = jnp.zeros((), qx.dtype)
+            for sgi in range(kdim // ssz):
+                sl = qx[:, sgi * ssz:(sgi + 1) * ssz]        # [tm, S]
+                rep = jnp.concatenate([sl] * sg, axis=0)     # [sg*tm, S]
+                xt_ref[sgi] = jnp.where(mask, rep, zero)
 
     @pl.when(k == 0)
     def _():
@@ -282,14 +339,29 @@ def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
             # cast chain on v5e; the u8->u16 relayout is the cost.)
             q = q.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
             pet = jnp.float32
-        x = xt_ref[pl.ds(off + k * tb, tb), :]
-        for gi in range(tb // gs):
-            a, b = gi * gs, (gi + 1) * gs
-            d = jax.lax.dot_general(
-                x[a:b, :], q[a:b, :], (((0,), (0,)), ((), ())),
-                preferred_element_type=pet)                    # [tm, tn]
-            s = sr[0, gi:gi + 1, :].astype(jnp.float32)
-            acc = acc + d.astype(jnp.float32) * s
+        if sg == 1:
+            x = xt_ref[pl.ds(off + k * tb, tb), :]
+            for gi in range(tb // gs):
+                a, b = gi * gs, (gi + 1) * gs
+                d = jax.lax.dot_general(
+                    x[a:b, :], q[a:b, :], (((0,), (0,)), ((), ())),
+                    preferred_element_type=pet)                # [tm, tn]
+                s = sr[0, gi:gi + 1, :].astype(jnp.float32)
+                acc = acc + d.astype(jnp.float32) * s
+        else:
+            sall = sr[0].astype(jnp.float32)                   # [gtile, tn]
+            for si in range(tb // ssz):
+                sg_idx = (off + k * tb) // ssz + si
+                xs = xt_ref[pl.ds(sg_idx, 1)][0]               # [sg*tm, S]
+                d = jax.lax.dot_general(
+                    xs, q[si * ssz:(si + 1) * ssz, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=pet)                # [sg*tm, tn]
+                df = d.astype(jnp.float32)
+                for g in range(sg):
+                    gi = si * sg + g
+                    acc = acc + (df[g * tm:(g + 1) * tm, :]
+                                 * sall[gi:gi + 1, :])
         if has_bias:
             gr = gsum_ref[pl.ds((off + k * tb) // gs, tb // gs), :]
             acc = acc + jax.lax.dot_general(
@@ -393,9 +465,11 @@ def _largest_tile(n: int, target: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_dtype", "interpret", "quantized"))
+                   static_argnames=("out_dtype", "interpret", "quantized",
+                                    "sg"))
 def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
-                  interpret: bool = False, quantized: bool = False):
+                  interpret: bool = False, quantized: bool = False,
+                  sg: Optional[int] = None):
     """Decode-path entry: x [m, K] (m mult of 8), returns [m, N]."""
     m, kdim = x.shape
     n = ql.out_features
@@ -417,6 +491,23 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     n_k = halved // tb
     tm = m if m <= 128 else 128
     tn = _largest_tile(n, _GROUP_TN_TARGET)
+    # Super-group fold factor (see _group_kernel): must keep sg*tm <= 128
+    # MXU rows and whole super-groups per k-tile.  Auto rule (swept on
+    # v5e r4, tools/qmm_sg_bench.py): sg=4 wins on shapes whose grid has
+    # enough (j, k) steps to amortize the once-per-mi xbd build
+    # (gateup 637->718 GB/s, down 508->623); small grids (qkv, wo: 8
+    # steps) lose to the build cost, and configs whose xbd scratch
+    # forces tn below the sg=1 tile width (down at sg=8) also lose.
+    if sg is None:
+        sg = envs.QMM_SG
+    auto = sg <= 0
+    if auto:
+        # exact mode runs bf16 dots: the sg x FLOPs blowup exceeds the
+        # utilization win at bf16 MXU rate (measured 495 -> 438 GB/s),
+        # so the fold only pays with int8 activations.
+        sg = 4 if quantized else 1
+    while sg > 1 and (sg * tm > 128 or tb % (sg * gs) or halved % (sg * gs)):
+        sg //= 2
     # Scoped-VMEM byte model: in/out blocks (double-buffered) + scratch
     # + Mosaic's live per-group dot results (both nibble halves').
     # Calibration v5e: (tm=64, tn=4096) -> 20.77 MB actual, (64, 2048)
@@ -429,7 +520,7 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
 
     def stack_bytes(tn_):
         xb = 2 * tm * kdim * 2                    # x blocks
-        xt = kdim * tm * (1 if quantized else 2)  # x^T scratch
+        xt = sg * kdim * tm * (1 if quantized else 2)  # x^T / xbd scratch
         gsum = (kdim // gs) * tm * 4              # group sums
         wb = 2 * tb * tn_ * wbytes                # packed w blocks
         sb = 4 * 2 * gtile_b * tn_ * 2            # scale/bias blocks
@@ -438,8 +529,22 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         live = halves * gtile_b * tm * tn_ * 4    # in-flight group dots
         return xb + xt + gsum + wb + sb + outb + accb + live
 
-    while tn > 1024 and stack_bytes(tn) > 14_500_000:
-        tn = max(1024, (tn // 2 + 127) // 128 * 128)
+    def final_tn(tn_):
+        while tn_ > 1024 and stack_bytes(tn_) > 14_500_000:
+            tn_ = max(1024, (tn_ // 2 + 127) // 128 * 128)
+        return tn_
+
+    if auto and sg > 1:
+        sg1, tn1 = sg, tn
+        sg = 1
+        base_tn = final_tn(tn)
+        steps1 = pl.cdiv(n, base_tn) * n_k
+        if steps1 >= 16:
+            sg = sg1
+            while sg > 1 and final_tn(tn1) < base_tn:
+                sg //= 2
+        tn = tn1
+    tn = final_tn(tn)
     grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), n_k)
     gtile = tb // gs
 
@@ -466,15 +571,16 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tm, tn), jnp.float32),                   # acc
-            pltpu.VMEM((kdim, tm),
-                       jnp.int8 if quantized else jnp.bfloat16),  # x^T
+            pltpu.VMEM((kdim, tm) if sg == 1
+                       else (kdim // (sg * gs), sg * tm, sg * gs),
+                       jnp.int8 if quantized else jnp.bfloat16),  # x^T/xbd
             pltpu.VMEM((kdim // gs, tm), jnp.float32),           # gsums
             pltpu.VMEM((1, tm), jnp.float32),                    # sx
         ],
     )
     kernel = functools.partial(
         _group_kernel, n_k=n_k, gs=gs, quantized=quantized, kind=kind,
-        has_bias=has_bias, kdim=kdim, tb=tb)
+        has_bias=has_bias, kdim=kdim, tb=tb, sg=sg)
     w_bytes = w3.size // w3.shape[0] * w3.dtype.itemsize
     cost = pl.CostEstimate(
         flops=2 * m * n * kdim, transcendentals=0,

@@ -44,7 +44,9 @@ def _linear_spec(role: str, field: str, kind: str, layout: str,
     shard_n = role in _COLUMN or role in _VOCAB      # else shard K
     if kind == "dense":
         dims = (P("model", None) if shard_n else P(None, "model"))
-    elif layout == "nk":                             # embedding tables
+    elif layout == "nk":
+        # embedding tables: EVERY leaf (w, scales, biases) is [N, ...]
+        # row-major, so one spec covers all three
         dims = (P("model", None) if shard_n else P(None, "model"))
     else:                                            # "kn": [K..., N]
         dims = (P(None, "model") if shard_n else P("model", None))
