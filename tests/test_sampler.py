@@ -16,7 +16,7 @@ def test_greedy_picks_argmax():
     logits = jnp.asarray(np.random.default_rng(0).standard_normal((4, 32)),
                          dtype=jnp.float32)
     st = make_st([SamplingParams(temperature=0.0)] * 4)
-    toks, lp = sample(logits, st, jnp.asarray(0))
+    toks, lp, _, _ = sample(logits, st, jnp.asarray(0))
     np.testing.assert_array_equal(np.asarray(toks),
                                   np.asarray(logits).argmax(-1))
     assert np.all(np.asarray(lp) <= 0)
@@ -26,10 +26,10 @@ def test_seeded_sampling_deterministic():
     logits = jnp.asarray(np.random.default_rng(1).standard_normal((4, 64)),
                          dtype=jnp.float32)
     st = make_st([SamplingParams(temperature=1.0, seed=42)] * 4)
-    t1, _ = sample(logits, st, jnp.asarray(3))
-    t2, _ = sample(logits, st, jnp.asarray(3))
+    t1, _, _, _ = sample(logits, st, jnp.asarray(3))
+    t2, _, _, _ = sample(logits, st, jnp.asarray(3))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
-    t3, _ = sample(logits, st, jnp.asarray(4))  # different step -> may differ
+    t3, _, _, _ = sample(logits, st, jnp.asarray(4))  # different step -> may differ
     assert np.asarray(t3).shape == (4,)
 
 
@@ -40,7 +40,7 @@ def test_top_k_restricts_support():
                   for i in range(4)])
     top3 = np.argsort(-np.asarray(logits), axis=-1)[:, :3]
     for step in range(20):
-        toks, _ = sample(logits, st, jnp.asarray(step))
+        toks, _, _, _ = sample(logits, st, jnp.asarray(step))
         for i, t in enumerate(np.asarray(toks)):
             assert t in top3[i], (i, t, top3[i])
 
@@ -53,7 +53,7 @@ def test_top_p_restricts_support():
     st = make_st([SamplingParams(temperature=1.0, top_p=0.5, seed=5)] * 2,
                  s_pad=2)
     for step in range(10):
-        toks, _ = sample(jnp.asarray(logits), st, jnp.asarray(step))
+        toks, _, _, _ = sample(jnp.asarray(logits), st, jnp.asarray(step))
         assert set(np.asarray(toks)).issubset({7})
 
 
@@ -65,7 +65,7 @@ def test_repetition_penalty_blocks_repeat():
     recent[0, 0] = 3  # token 3 was emitted recently
     st = make_st([SamplingParams(temperature=0.0, repetition_penalty=5.0)],
                  s_pad=2, recent=recent)
-    toks, _ = sample(jnp.asarray(logits), st, jnp.asarray(0))
+    toks, _, _, _ = sample(jnp.asarray(logits), st, jnp.asarray(0))
     assert int(np.asarray(toks)[0]) == 5  # 3 penalized down below 5
 
 
@@ -77,6 +77,6 @@ def test_frequency_penalty_counts():
     recent[0, :3] = 2  # token 2 emitted 3 times
     st = make_st([SamplingParams(temperature=0.0, frequency_penalty=0.3)],
                  s_pad=2, recent=recent)
-    toks, _ = sample(jnp.asarray(logits), st, jnp.asarray(0))
+    toks, _, _, _ = sample(jnp.asarray(logits), st, jnp.asarray(0))
     # 1.0 - 3*0.3 = 0.1 < 0.5
     assert int(np.asarray(toks)[0]) == 4

@@ -204,3 +204,98 @@ def test_invalid_params_return_400(client_factory):
         assert r.status == 400
 
     asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_completions_logprobs(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": [3, 5, 9, 2], "max_tokens": 4, "temperature": 0.0,
+            "logprobs": 5})
+        assert r.status == 200
+        data = await r.json()
+        lp = data["choices"][0]["logprobs"]
+        assert lp is not None
+        n = len(lp["tokens"])
+        assert n >= 1
+        assert len(lp["token_logprobs"]) == n
+        assert len(lp["top_logprobs"]) == n
+        assert len(lp["text_offset"]) == n
+        for d in lp["top_logprobs"]:
+            assert 1 <= len(d) <= 5
+            assert all(isinstance(v, float) for v in d.values())
+        # greedy: sampled token's logprob equals its top-table entry
+        assert lp["token_logprobs"][0] == pytest.approx(
+            max(lp["top_logprobs"][0].values()), abs=1e-5)
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_chat_logprobs(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "95"}],
+            "max_tokens": 3, "temperature": 0.0,
+            "logprobs": True, "top_logprobs": 3})
+        assert r.status == 200
+        data = await r.json()
+        lp = data["choices"][0]["logprobs"]
+        assert lp is not None and "content" in lp
+        for entry in lp["content"]:
+            assert isinstance(entry["logprob"], float)
+            assert len(entry["top_logprobs"]) >= 3
+            assert isinstance(entry["bytes"], list)
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_stop_string_terminates_via_api(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        # baseline: find what greedy generates
+        r = await client.post("/v1/completions", json={
+            "prompt": "357", "max_tokens": 6, "temperature": 0.0,
+            "ignore_eos": True})
+        base = (await r.json())["choices"][0]["text"]
+        assert len(base) >= 3
+        stop_char = base[2]
+        first = base.index(stop_char)
+        r = await client.post("/v1/completions", json={
+            "prompt": "357", "max_tokens": 20, "temperature": 0.0,
+            "ignore_eos": True, "stop": stop_char})
+        data = await r.json()
+        choice = data["choices"][0]
+        assert choice["finish_reason"] == "stop"
+        assert choice["text"] == base[:first]
+        # generation terminated AT the stop (compute not burned to max_tokens)
+        assert data["usage"]["completion_tokens"] == first + 1
+
+    asyncio.run(run_with_client(ae, srv, fn))
+
+
+def test_stop_string_streaming_never_leaks(client_factory):
+    ae, srv = client_factory
+
+    async def fn(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "357", "max_tokens": 6, "temperature": 0.0,
+            "ignore_eos": True})
+        base = (await r.json())["choices"][0]["text"]
+        stop_char = base[2]
+        first = base.index(stop_char)
+        r = await client.post("/v1/completions", json={
+            "prompt": "357", "max_tokens": 20, "temperature": 0.0,
+            "ignore_eos": True, "stop": [stop_char], "stream": True})
+        body = await r.text()
+        events = [line for line in body.split("\n\n")
+                  if line.startswith("data: ") and "[DONE]" not in line]
+        payloads = [json.loads(e[6:]) for e in events]
+        text = "".join(p["choices"][0]["text"] for p in payloads)
+        assert text == base[:first]
+        assert payloads[-1]["choices"][0]["finish_reason"] == "stop"
+
+    asyncio.run(run_with_client(ae, srv, fn))

@@ -150,6 +150,12 @@ class SchedulerConfig:
             raise ValueError(
                 "max_num_batched_tokens must be >= max_num_seqs "
                 f"({self.max_num_batched_tokens} < {self.max_num_seqs})")
+        if self.decode_window > 1:
+            # windows execute in power-of-two sizes (one compiled program
+            # per (n_steps, s_pad) pair); normalize here so window
+            # chaining — which compares the step window against this
+            # value — engages for any configured size (e.g. 24 -> 16)
+            self.decode_window = 1 << (self.decode_window.bit_length() - 1)
 
 
 @dataclass

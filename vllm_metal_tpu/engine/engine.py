@@ -127,6 +127,14 @@ class LLMEngine:
             eos_token_id=self.eos_token_id,
             lora_name=lora_name,
         )
+        if req.params.stop:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "stop strings require the engine to have a tokenizer")
+            from .detokenizer import IncrementalDetokenizer
+            req.detok = IncrementalDetokenizer(
+                self.tokenizer, req.params.stop,
+                include_stop=req.params.include_stop_str_in_output)
         if mm_features:
             if not self._is_mm:
                 raise ValueError("model has no multimodal path")
@@ -218,6 +226,8 @@ class LLMEngine:
         for req in self.scheduler.running:
             if not req.params.greedy:
                 continue  # greedy-only, like the reference
+            if req.params.logprobs is not None:
+                continue  # verify rows carry no logprobs; keep them exact
             if req.num_computed_tokens != req.num_tokens - 1:
                 continue  # still prefilling
             from ..spec.mtp import MTPProposer
@@ -337,6 +347,13 @@ class LLMEngine:
             for tok, lp in zip(new_tokens, logprobs):
                 req.output_token_ids.append(tok)
                 req.logprobs.append(lp)
+                if req.params.logprobs is not None \
+                        and out.topk_ids is not None:
+                    # non-spec path: one sampled token per step, so the
+                    # step's top-k row belongs to this token
+                    req.top_logprobs.append(list(zip(
+                        (int(t) for t in out.topk_ids[i]),
+                        (float(v) for v in out.topk_vals[i]))))
                 emitted.append(tok)
                 self.num_generated_tokens += 1
                 stop = req.check_stop(self.cfg.model.max_model_len)
@@ -360,16 +377,28 @@ class LLMEngine:
                 self._release_state_slot(req.request_id)
                 if self.proposer is not None:
                     self.proposer.release(req.request_id)
-            results.append(RequestOutput(
-                request_id=req.request_id,
-                new_token_ids=emitted,
-                finished=finished,
-                finish_reason=_FINISH_REASON.get(stop),
-                token_ids=list(req.output_token_ids),
-                logprobs=list(req.logprobs),
-                num_prompt_tokens=req.num_prompt_tokens,
-            ))
+            results.append(self._make_output(req, emitted, stop))
         return results
+
+    def _make_output(self, req, emitted: list[int], stop) -> RequestOutput:
+        finished = stop is not None
+        text = stop_reason = None
+        if req.detok is not None:
+            text = req.detok.text if finished else req.detok.safe_text
+            stop_reason = req.detok.stop_reason
+        return RequestOutput(
+            request_id=req.request_id,
+            new_token_ids=emitted,
+            finished=finished,
+            finish_reason=_FINISH_REASON.get(stop),
+            token_ids=list(req.output_token_ids),
+            logprobs=list(req.logprobs),
+            top_logprobs=(list(req.top_logprobs)
+                          if req.params.logprobs is not None else None),
+            text=text,
+            stop_reason=stop_reason,
+            num_prompt_tokens=req.num_prompt_tokens,
+        )
 
     def _mm_chunk(self, req, start: int, qlen: int):
         """Chunk-local mm splice rows/embeds + 3-axis positions.
@@ -419,6 +448,7 @@ class LLMEngine:
             req = s.request
             if (s.num_new_tokens != 1 or s.num_draft_tokens
                     or req.params.grammar is not None
+                    or req.params.logprobs is not None
                     or req.lora_name is not None
                     or req.num_computed_tokens != req.num_tokens - 1
                     or req.mrope_delta != 0):
@@ -519,15 +549,7 @@ class LLMEngine:
                 self.scheduler.finish_request(req, stops[i])
                 self.requests.pop(req.request_id, None)
                 self._release_state_slot(req.request_id)
-            results.append(RequestOutput(
-                request_id=req.request_id,
-                new_token_ids=emitted[i],
-                finished=finished,
-                finish_reason=_FINISH_REASON.get(stops[i]),
-                token_ids=list(req.output_token_ids),
-                logprobs=list(req.logprobs),
-                num_prompt_tokens=req.num_prompt_tokens,
-            ))
+            results.append(self._make_output(req, emitted[i], stops[i]))
         return results
 
     def _verify(self, req, s, out, i):

@@ -59,6 +59,10 @@ class SeqStepInput:
 class StepOutput:
     token_ids: np.ndarray            # [num_seqs] sampled ids (valid where
     logprobs: np.ndarray             # sample_needed)
+    # [num_seqs, K] top-K logprob alternatives (K=0 unless a request in
+    # the batch asked for logprobs — sampler.TOPK_LOGPROBS)
+    topk_vals: Any = None
+    topk_ids: Any = None
     logits: Any = None               # [num_seqs, V] device array (lazy)
     # [num_seqs, spec_window+1] greedy argmax of each seq's last rows
     # (row j of seq i = target's next token after query token
@@ -233,15 +237,16 @@ class ModelRunner:
                 rows = jnp.clip(last, 0, hidden.shape[0] - 1)
                 logits = self.model.logits(weights, hidden[rows])
                 verify = None
-            tokens, logprobs = sample(logits, st, step_idx)
+            tokens, logprobs, topk_vals, topk_ids = sample(
+                logits, st, step_idx)
             # LAST-pooled, L2-normalized hidden per seq (embeddings API;
             # reference: v1/pooling.py LAST pooling + normalize)
             pooled_rows = jnp.clip(last, 0, hidden.shape[0] - 1)
             hrows = hidden[pooled_rows]
             ph = hrows.astype(jnp.float32)
             pooled = ph / jnp.linalg.norm(ph, axis=-1, keepdims=True)
-            return tokens, logprobs, logits, verify, pooled, hrows, \
-                get_cache()
+            return tokens, logprobs, topk_vals, topk_ids, logits, \
+                verify, pooled, hrows, get_cache()
 
         if self.mesh is None:
             return functools.partial(jax.jit, donate_argnums=(1,))(step)
@@ -258,7 +263,7 @@ class ModelRunner:
             step, mesh=self.mesh,
             in_specs=(w_specs, c_specs, P(), P(), P(), P())
             + (P(),) * n_extra,
-            out_specs=(P(), P(), P(), P(), P(), P(), c_specs),
+            out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), c_specs),
             check_vma=False)
         return functools.partial(jax.jit, donate_argnums=(1,))(sharded)
 
@@ -354,7 +359,7 @@ class ModelRunner:
                 for i in range(n_steps):
                     cache, logits, ctx_lens = one_step(
                         weights, cache, tokens, ctx_lens, md0, active)
-                    tokens, lp = sample(logits, st, step0 + i)
+                    tokens, lp, _, _ = sample(logits, st, step0 + i)
                     tokens = tokens.astype(jnp.int32)
                     # append to the penalty ring (order-insensitive
                     # multiset of the last `ring` outputs, same contract
@@ -604,23 +609,30 @@ class ModelRunner:
             extra = (self.lora_manager.packs, jnp.asarray(slots))
         if self._is_mm:
             extra = extra + self._mm_extras(seqs, t_pad)
-        tokens, logprobs, logits, verify, pooled, hrows, self.cache = \
-            self._step(
+        tokens, logprobs, tkv, tki, logits, verify, pooled, hrows, \
+            self.cache = self._step(
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,
             jnp.asarray(self.step_counter, jnp.int32), *extra)
         self.step_counter += 1
         n = len(seqs)
+        has_topk = tkv.shape[-1] > 0
         if not sync:
             return StepOutput(token_ids=tokens[:n], logprobs=logprobs[:n],
+                              topk_vals=tkv[:n] if has_topk else None,
+                              topk_ids=tki[:n] if has_topk else None,
                               logits=logits[:n], verify_tokens=verify,
                               pooled=pooled[:n], hidden=hrows[:n])
         # one batched D2H round trip (each separate np.asarray costs a
         # full host<->device RPC — ~0.25-1 ms through the tunnel)
-        fetch = (tokens, logprobs) + (() if verify is None else (verify,))
+        fetch = (tokens, logprobs) + ((tkv, tki) if has_topk else ()) \
+            + (() if verify is None else (verify,))
         host = jax.device_get(fetch)
+        k = 2 + (2 if has_topk else 0)
         return StepOutput(token_ids=host[0][:n],
                           logprobs=host[1][:n],
+                          topk_vals=host[2][:n] if has_topk else None,
+                          topk_ids=host[3][:n] if has_topk else None,
                           logits=logits[:n],
                           verify_tokens=None if verify is None
-                          else host[2][:n],
+                          else host[k][:n],
                           pooled=pooled[:n], hidden=hrows[:n])

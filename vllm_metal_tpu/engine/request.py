@@ -41,6 +41,12 @@ class Request:
     block_ids: list[int] = field(default_factory=list)
     # accumulated per-token logprobs (parallel to output_token_ids)
     logprobs: list[float] = field(default_factory=list)
+    # per-token top-k alternatives [(token_id, logprob), ...] when the
+    # request asked for logprobs (parallel to output_token_ids)
+    top_logprobs: list[list[tuple[int, float]]] = field(default_factory=list)
+    # incremental detokenizer (installed by the engine when the request
+    # has stop strings and a tokenizer is available); owns output text
+    detok: Optional[object] = None
     # number of draft tokens accepted last step (spec decode metrics)
     num_accepted_drafts: int = 0
     first_token_time: Optional[float] = None
@@ -78,6 +84,10 @@ class Request:
                 and last == self.eos_token_id:
             return RequestStatus.FINISHED_STOPPED
         if last in p.stop_token_ids:
+            return RequestStatus.FINISHED_STOPPED
+        if self.detok is not None and self.detok.append(last):
+            # stop string completed: generation terminates NOW (not just
+            # post-hoc text truncation) — detok.text is already truncated
             return RequestStatus.FINISHED_STOPPED
         if len(self.output_token_ids) >= p.max_tokens:
             return RequestStatus.FINISHED_LENGTH

@@ -20,9 +20,14 @@ from ..utils import static_dataclass
 
 GREEDY_EPS = 1e-5  # mirrors reference GREEDY_TEMPERATURE_EPS semantics
 
+# top-k logprob alternatives returned when a request asks for logprobs
+# (OpenAI caps: 5 for completions, 20 for chat top_logprobs); one fixed
+# width keeps the compile-cache key binary (on/off), the API layer slices
+TOPK_LOGPROBS = 20
+
 
 @static_dataclass(meta_fields=("use_topk", "use_topp", "use_minp",
-                               "use_penalties", "all_greedy"))
+                               "use_penalties", "all_greedy", "need_topk"))
 class SamplingTensors:
     """Per-sequence device tensors, padded to [S].
 
@@ -50,6 +55,9 @@ class SamplingTensors:
     use_minp: bool = True
     use_penalties: bool = True
     all_greedy: bool = False
+    # any request in the batch wants top-k logprob alternatives: the
+    # sampler adds a lax.top_k over the logprob rows (off batches skip it)
+    need_topk: bool = False
 
     @classmethod
     def from_lists(cls, params: list, seq_pad: int,
@@ -94,7 +102,9 @@ class SamplingTensors:
             token_bitmask=None if token_bitmask is None
             else jnp.asarray(token_bitmask),
             use_topk=use_topk, use_topp=use_topp, use_minp=use_minp,
-            use_penalties=use_penalties, all_greedy=all_greedy)
+            use_penalties=use_penalties, all_greedy=all_greedy,
+            need_topk=any(p.logprobs is not None and p.logprobs > 0
+                          for p in params))
 
 
 def _apply_penalties(logits: jax.Array, st: SamplingTensors) -> jax.Array:
@@ -155,8 +165,13 @@ def _apply_bitmask(logits: jax.Array, words: jax.Array) -> jax.Array:
 
 
 def sample(logits: jax.Array, st: SamplingTensors,
-           step: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """logits [S, V] f32 -> (token_ids [S] i32, logprobs [S] f32).
+           step: jax.Array
+           ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """logits [S, V] f32 -> (token_ids [S] i32, logprobs [S] f32,
+    topk_logprobs [S, K] f32, topk_ids [S, K] i32).
+
+    K = TOPK_LOGPROBS when ``st.need_topk`` else 0 (zero-width arrays
+    keep the output pytree shape static per compiled program).
 
     Deterministic per (seed, step): every request draws from its own folded
     key, so identical requests reproduce across runs and batch compositions.
@@ -194,4 +209,10 @@ def sample(logits: jax.Array, st: SamplingTensors,
     logprobs_all = jax.nn.log_softmax(logits, axis=-1)
     chosen_logprob = jnp.take_along_axis(
         logprobs_all, tokens[:, None], axis=-1)[:, 0]
-    return tokens, chosen_logprob
+    if st.need_topk:
+        topk_vals, topk_ids = jax.lax.top_k(logprobs_all, TOPK_LOGPROBS)
+        topk_ids = topk_ids.astype(jnp.int32)
+    else:
+        topk_vals = jnp.zeros((s, 0), jnp.float32)
+        topk_ids = jnp.zeros((s, 0), jnp.int32)
+    return tokens, chosen_logprob, topk_vals, topk_ids

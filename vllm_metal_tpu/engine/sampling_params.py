@@ -21,7 +21,10 @@ class SamplingParams:
     stop: list[str] = field(default_factory=list)
     stop_token_ids: list[int] = field(default_factory=list)
     seed: Optional[int] = None
+    # None = no logprobs in the response; k >= 0 = return the sampled
+    # token's logprob plus its k most likely alternatives per position
     logprobs: Optional[int] = None
+    include_stop_str_in_output: bool = False
     ignore_eos: bool = False
     # structured output: object with next_allowed(output_tokens) -> packed
     # uint32 bitmask (see engine/structured_output.py)

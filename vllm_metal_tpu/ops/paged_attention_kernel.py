@@ -204,8 +204,13 @@ def _kernel(
             for gi in range(g):
                 sl = slice(gi * bq, (gi + 1) * bq)
                 sink = sinks_smem[0, (hi0 * hc + h) * g + gi]
-                l = l_s[h, sl, 0:1] + jnp.exp(sink - m_s[h, sl, 0:1])
-                o_blk[h, gi] = (acc[h, sl] / jnp.maximum(l, 1e-30)
+                # sink joins the running max so exp() stays bounded even
+                # when the sink logit dominates every attention logit
+                m = m_s[h, sl, 0:1]
+                m2 = jnp.maximum(m, sink)
+                r = jnp.exp(m - m2)
+                l = l_s[h, sl, 0:1] * r + jnp.exp(sink - m2)
+                o_blk[h, gi] = (acc[h, sl] * r / jnp.maximum(l, 1e-30)
                                 ).astype(o_blk.dtype)
     else:
         l = l_s[:, :, 0:1]

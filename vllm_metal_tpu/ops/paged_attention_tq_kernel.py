@@ -206,13 +206,20 @@ def _kernel(
     hm = hmat_vmem[:]                                  # [d, d] f32 (M)
     for gi in range(g):
         l = l_s[gi][:, 0:1]
+        a = acc[gi]
         if has_sinks:
             # attention sink: a per-head virtual logit joins the softmax
-            # denominator only (no value row) — same contract as the
-            # bf16 kernel's finalization
+            # denominator only (no value row).  The sink participates in
+            # the running max (oracle: paged_attention.py quant ref takes
+            # max(logits, sink)) so a sink above every attention logit
+            # can't overflow exp().
             sink = sinks_smem[0, h * g + gi]
-            l = l + jnp.exp(sink - m_s[gi][:, 0:1])
-        out_rot = acc[gi] / jnp.maximum(l, 1e-30)
+            m = m_s[gi][:, 0:1]
+            m2 = jnp.maximum(m, sink)
+            r = jnp.exp(m - m2)
+            l = l * r + jnp.exp(sink - m2)
+            a = a * r
+        out_rot = a / jnp.maximum(l, 1e-30)
         out = jax.lax.dot_general(
             out_rot, hm, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # out = r @ M.T

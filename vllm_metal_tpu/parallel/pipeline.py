@@ -249,13 +249,14 @@ class PipelineRunner:
         logits, self.kv = self._step(self.weights, self.kv,
                                      jnp.asarray(flat), md)
         step_idx = getattr(self, "step_counter", 0)
-        tokens, logprobs = self._sample_fn()(
+        tokens, logprobs, tkv, tki = self._sample_fn()(
             logits, md.query_start_loc, st,
             jnp.asarray(step_idx, jnp.int32))
         self.step_counter = step_idx + 1
         n = len(seqs)
-        host = jax.device_get((tokens, logprobs))
+        host = jax.device_get((tokens, logprobs, tkv, tki))
         return StepOutput(token_ids=host[0][:n], logprobs=host[1][:n],
+                          topk_vals=host[2][:n], topk_ids=host[3][:n],
                           logits=logits[jnp.clip(
                               md.query_start_loc[1:] - 1, 0,
                               logits.shape[0] - 1)][:n])

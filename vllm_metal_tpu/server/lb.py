@@ -100,20 +100,30 @@ class LoadBalancer:
                     status=503)
             tried.add(rep.base_url)
             rep.outstanding += 1
+            started: list[web.StreamResponse] = []
             try:
-                return await self._forward(request, rep, body)
-            except aiohttp.ClientError as e:
-                # connection-level failure before any bytes returned:
-                # mark unhealthy and fail over to the next replica
+                return await self._forward(request, rep, body, started)
+            except (aiohttp.ClientError, asyncio.TimeoutError) as e:
                 logger.warning("replica %s failed: %s", rep.base_url, e)
                 rep.healthy = False
                 rep.last_error = str(e)
                 self.num_failovers += 1
+                if started:
+                    # Headers (and possibly body bytes) already reached the
+                    # client: a retry or a second response would corrupt the
+                    # stream.  Abort this client connection instead.
+                    if request.transport is not None:
+                        request.transport.close()
+                    return started[0]
             finally:
                 rep.outstanding -= 1
 
     async def _forward(self, request: web.Request, rep: Replica,
-                       body: bytes) -> web.StreamResponse:
+                       body: bytes,
+                       started: list[web.StreamResponse]) -> web.StreamResponse:
+        """Proxy one request.  Appends the response to ``started`` the moment
+        ``prepare()`` runs, so the caller can tell a pre-send failure (safe to
+        fail over) from a mid-stream one (client connection must be aborted)."""
         headers = {k: v for k, v in request.headers.items()
                    if k.lower() not in HOP_HEADERS}
         async with self._session.request(
@@ -126,6 +136,7 @@ class LoadBalancer:
                 if k.lower() not in HOP_HEADERS:
                     out.headers[k] = v
             await out.prepare(request)
+            started.append(out)
             async for chunk in resp.content.iter_any():
                 await out.write(chunk)
             await out.write_eof()
@@ -154,7 +165,14 @@ class LoadBalancer:
                     for line in text.splitlines():
                         if line and not line.startswith("#"):
                             name, _, rest = line.partition(" ")
-                            parts.append(f'{name}{{{lbl}}} {rest}')
+                            if name.endswith("}") and "{" in name:
+                                # merge into the existing label set:
+                                # m{a="b"} -> m{a="b",replica="..."}
+                                base, _, lbls = name.partition("{")
+                                parts.append(
+                                    f'{base}{{{lbls[:-1]},{lbl}}} {rest}')
+                            else:
+                                parts.append(f'{name}{{{lbl}}} {rest}')
                 except Exception:
                     pass
         return web.Response(text="\n".join(parts) + "\n")

@@ -49,8 +49,25 @@ def _params_from_request(body: dict, default_max: int = 256) -> SamplingParams:
         seed=body.get("seed"),
         logprobs=body.get("logprobs") if isinstance(body.get("logprobs"), int)
         else None,
+        include_stop_str_in_output=bool(
+            g("include_stop_str_in_output", False)),
         ignore_eos=bool(g("ignore_eos", False)),
     )
+
+
+def _chat_logprobs_params(body: dict, params: SamplingParams) -> None:
+    """Chat convention: ``logprobs`` is a bool, ``top_logprobs`` an int
+    (0-20).  Map onto the engine's single ``logprobs=k`` knob."""
+    if body.get("logprobs") is True:
+        k = body.get("top_logprobs") or 0
+        if not isinstance(k, int) or not 0 <= k <= 20:
+            raise ValueError("top_logprobs must be an int in [0, 20]")
+        params.logprobs = k
+    elif isinstance(body.get("logprobs"), int):
+        # tolerate the completions-style int form on the chat endpoint
+        params.logprobs = body["logprobs"]
+    else:
+        params.logprobs = None
 
 
 class OpenAIServer:
@@ -270,13 +287,16 @@ class OpenAIServer:
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
                                      status=400)
+        lp_obj = None
+        if params.logprobs is not None:
+            lp_obj = self._completion_logprobs(out, params.logprobs)
         return web.json_response({
             "id": rid, "object": "text_completion",
             "created": int(time.time()), "model": self.model_name,
             "choices": [{
                 "index": 0, "text": text,
                 "finish_reason": out.finish_reason,
-                "logprobs": None,
+                "logprobs": lp_obj,
             }],
             "usage": {
                 "prompt_tokens": len(prompt_ids),
@@ -343,6 +363,7 @@ class OpenAIServer:
         prompt_ids = self.tok.encode(prompt, add_special_tokens=False)
         try:
             params = _params_from_request(body)
+            _chat_logprobs_params(body, params)
             self._attach_grammar(body, params)
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
@@ -360,6 +381,9 @@ class OpenAIServer:
         except ValueError as e:
             return web.json_response({"error": {"message": str(e)}},
                                      status=400)
+        lp_obj = None
+        if params.logprobs is not None:
+            lp_obj = self._chat_logprobs(out, params.logprobs)
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.model_name,
@@ -367,6 +391,7 @@ class OpenAIServer:
                 "index": 0,
                 "message": {"role": "assistant", "content": text},
                 "finish_reason": out.finish_reason,
+                "logprobs": lp_obj,
             }],
             "usage": {
                 "prompt_tokens": len(prompt_ids),
@@ -396,9 +421,58 @@ class OpenAIServer:
                                               mm_features=mm_features,
                                               lora_name=lora_name):
             last = out
-        text = self.tok.decode(last.token_ids)
-        text = _apply_stop_strings(text, params.stop)
+        # the engine's detokenizer owns stop-string-truncated text (and
+        # terminated generation at the stop); requests without stop
+        # strings decode here
+        text = last.text if last.text is not None \
+            else self.tok.decode(last.token_ids)
         return last, text
+
+    # ------------------------------------------------------------------
+    def _token_str(self, tid: int) -> str:
+        return self.tok.decode([int(tid)])
+
+    def _completion_logprobs(self, out, k: int, start: int = 0) -> dict:
+        """OpenAI completions ``logprobs`` object for out.token_ids[start:]."""
+        toks = out.token_ids[start:]
+        lps = (out.logprobs or [])[start:]
+        strs = [self._token_str(t) for t in toks]
+        # text_offset counts from the start of the completion text
+        offsets = []
+        off = sum(len(self._token_str(t)) for t in out.token_ids[:start])
+        for s in strs:
+            offsets.append(off)
+            off += len(s)
+        top = None
+        if out.top_logprobs is not None and k > 0:
+            top = [{self._token_str(tid): lp for tid, lp in pairs[:k]}
+                   for pairs in out.top_logprobs[start:]]
+        return {"tokens": strs,
+                "token_logprobs": [float(x) for x in lps],
+                "top_logprobs": top,
+                "text_offset": offsets}
+
+    def _chat_logprobs(self, out, k: int, start: int = 0) -> dict:
+        """OpenAI chat ``logprobs`` object (content entry list)."""
+        content = []
+        toks = out.token_ids[start:]
+        lps = (out.logprobs or [])[start:]
+        tops = (out.top_logprobs or [])[start:] \
+            if out.top_logprobs is not None else [None] * len(toks)
+        for t, lp, pairs in zip(toks, lps, tops):
+            s = self._token_str(t)
+            entry = {"token": s, "logprob": float(lp),
+                     "bytes": list(s.encode("utf-8"))}
+            if pairs is not None and k > 0:
+                entry["top_logprobs"] = [
+                    {"token": self._token_str(tid),
+                     "logprob": float(v),
+                     "bytes": list(self._token_str(tid).encode("utf-8"))}
+                    for tid, v in pairs[:k]]
+            else:
+                entry["top_logprobs"] = []
+            content.append(entry)
+        return {"content": content}
 
     async def _stream(self, request, rid, prompt_ids, params, chat: bool,
                       mm_features=None, lora_name=None
@@ -419,45 +493,45 @@ class OpenAIServer:
                              "role": "assistant", "content": ""},
                              "finish_reason": None}]}
                 await resp.write(f"data: {json.dumps(first)}\n\n".encode())
+            sent_lp = 0
             async for out in self.engine.generate(
                     prompt_ids, params, rid, mm_features=mm_features,
                     lora_name=lora_name):
-                full = self.tok.decode(out.token_ids)
-                full = _apply_stop_strings(full, params.stop)
+                # engine detokenizer text (stop-safe prefix while
+                # unfinished) when present; plain decode otherwise
+                full = out.text if out.text is not None \
+                    else self.tok.decode(out.token_ids)
                 delta = full[len(sent_text):]
                 # hold back partial multi-byte glyphs
                 if delta.endswith("�") and not out.finished:
                     continue
+                if not delta and not out.finished:
+                    continue
                 sent_text = full
+                lp_obj = None
+                if params.logprobs is not None:
+                    lp_obj = (self._chat_logprobs if chat
+                              else self._completion_logprobs)(
+                        out, params.logprobs, start=sent_lp)
+                    sent_lp = len(out.token_ids)
+                finish = out.finish_reason if out.finished else None
                 if chat:
-                    payload = {"id": rid, "object": obj,
-                               "created": int(time.time()),
-                               "model": self.model_name,
-                               "choices": [{"index": 0,
-                                            "delta": {"content": delta},
-                                            "finish_reason":
-                                            out.finish_reason if out.finished
-                                            else None}]}
+                    choice = {"index": 0, "delta": {"content": delta},
+                              "finish_reason": finish}
                 else:
-                    payload = {"id": rid, "object": obj,
-                               "created": int(time.time()),
-                               "model": self.model_name,
-                               "choices": [{"index": 0, "text": delta,
-                                            "finish_reason":
-                                            out.finish_reason if out.finished
-                                            else None}]}
+                    choice = {"index": 0, "text": delta,
+                              "finish_reason": finish}
+                if lp_obj is not None:
+                    choice["logprobs"] = lp_obj
+                payload = {"id": rid, "object": obj,
+                           "created": int(time.time()),
+                           "model": self.model_name,
+                           "choices": [choice]}
                 await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
             await resp.write(b"data: [DONE]\n\n")
         except ConnectionResetError:
             self.engine.abort(rid)
         return resp
-
-
-def _apply_stop_strings(text: str, stops: list[str]) -> str:
-    for s in stops:
-        if s and s in text:
-            text = text[:text.index(s)]
-    return text
 
 
 def serve(engine, tokenizer, host: str = "0.0.0.0", port: int = 8000,
