@@ -103,37 +103,35 @@ def test_engine_e2e_with_quant_cache():
         assert o.finished and len(o.token_ids) == 4
 
 
+@pytest.mark.parametrize("ck,cv", [
+    ("q8_0", "q3_0"),          # 5 pools (no lo planes for K)
+    ("q4_0", "q3_0"),          # packed hi planes, V lo plane
+    ("q5_0", "q3_0"),          # 7 pools (both lo planes)
+])
 @pytest.mark.parametrize("slots", [
     [0],                                  # single decode token
     [5, 6, 7, 8, 9],                      # run crossing an 8-row tile
     [3, -1, 20, 21, -1, 22],              # pads interleaved
     [47, 0, 16],                          # non-monotonic block hops
 ])
-def test_tq_write_kernel_matches_scatter(slots):
+def test_tq_write_kernel_matches_scatter(slots, ck, cv):
     """Aliased Pallas TQ write (interpret) == jnp scatter path across all
-    five pool arrays (reference: TQEncodePrimitive, paged_ops.cpp:846)."""
-    from vllm_metal_tpu.ops import turboquant as tq
+    pool arrays incl. packed bit planes (reference: TQEncodePrimitive,
+    paged_ops.cpp:846)."""
     from vllm_metal_tpu.ops.tq_cache_write import tq_cache_write
 
     rng = np.random.default_rng(len(slots))
     mc = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=64,
                      num_layers=2, num_heads=4, num_kv_heads=2,
                      head_dim=128, max_model_len=256)
-    cc = CacheConfig(block_size=16, kv_quant_k="q8_0", kv_quant_v="q3_0")
+    cc = CacheConfig(block_size=16, kv_quant_k=ck, kv_quant_v=cv)
     cache = QuantPagedKVCache.allocate(mc, cc, num_blocks=4)
     # pre-fill pools with junk so RMW blending is actually exercised
-    cache = QuantPagedKVCache(
-        k_codes=jnp.asarray(rng.integers(-9, 9, cache.k_codes.shape),
-                            jnp.int8),
-        k_scale=jnp.asarray(rng.standard_normal(cache.k_scale.shape),
-                            jnp.float32),
-        k_zero=jnp.asarray(rng.standard_normal(cache.k_zero.shape),
-                           jnp.float32),
-        v_codes=jnp.asarray(rng.integers(-3, 4, cache.v_codes.shape),
-                            jnp.int8),
-        v_scale=jnp.asarray(rng.standard_normal(cache.v_scale.shape),
-                            jnp.float32),
-        block_size=16, codec_k="q8_0", codec_v="q3_0")
+    cache = cache._rebuild(tuple(
+        jnp.asarray(rng.integers(-9, 9, p.shape), jnp.int8)
+        if p.dtype == jnp.int8
+        else jnp.asarray(rng.standard_normal(p.shape), p.dtype)
+        for p in cache._pools()))
 
     t = len(slots)
     t_pad = -(-t // 8) * 8
@@ -142,16 +140,58 @@ def test_tq_write_kernel_matches_scatter(slots):
     sl = np.full(t_pad, -1, np.int32)
     sl[:t] = slots
 
-    kc, ks, kz = tq.k_encode(jnp.asarray(k), "q8_0")
-    vc, vs = tq.v_encode(jnp.asarray(v), "q3_0")
-
+    news = cache._encode_rows(jnp.asarray(k), jnp.asarray(v))
     # jnp scatter path first (tq_cache_write donates the pool arrays)
     want = cache.write(1, jnp.asarray(k), jnp.asarray(v),
                        jnp.asarray(sl))
-    got = tq_cache_write(
-        cache.k_codes, cache.k_scale, cache.k_zero, cache.v_codes,
-        cache.v_scale, kc, ks, kz, vc, vs[..., None],
-        jnp.asarray(sl), 1, block_size=16, interpret=True)
-    for g, w in zip(got, (want.k_codes, want.k_scale, want.k_zero,
-                          want.v_codes, want.v_scale)):
+    got = tq_cache_write(cache._pools(), news, jnp.asarray(sl), 1,
+                         block_size=16, interpret=True)
+    for g, w in zip(got, want._pools()):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("ck,cv,ktol,vtol", [
+    ("q4_0", "q3_0", 0.1, 0.2),
+    ("q5_0", "q3_0", 0.05, 0.2),
+    ("uint2", "q2_0", 0.45, 0.42),
+])
+def test_packed_codec_roundtrip(ck, cv, ktol, vtol):
+    """Sub-byte packed pools round-trip within each codec's error floor."""
+    ccfg = CacheConfig(block_size=16, kv_quant_k=ck, kv_quant_v=cv)
+    cache = QuantPagedKVCache.allocate(CFG, ccfg, num_blocks=4)
+    rng = np.random.default_rng(7)
+    t = 16
+    k = jnp.asarray(rng.standard_normal((t, 2, 128)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, 2, 128)), dtype=jnp.float32)
+    slots = jnp.asarray(list(range(32, 32 + t)), jnp.int32)
+    cache = cache.write(1, k, v, slots)
+    slot_idx = jnp.asarray([[32 + i for i in range(16)]], jnp.int32)
+    kd, vd = cache.dequant_gathered(1, slot_idx, jnp.float32)
+    kd = np.asarray(kd)[0]
+    vd = np.asarray(vd)[0]
+    k_rms = np.sqrt(np.mean((kd - np.asarray(k)) ** 2))
+    v_rms = np.sqrt(np.mean((vd - np.asarray(v)) ** 2)) \
+        / np.sqrt(np.mean(np.asarray(v) ** 2))
+    assert k_rms < ktol, k_rms
+    assert v_rms < vtol, v_rms
+
+
+def test_packed_pool_bytes_match_compression():
+    """bytes_per_block reflects REAL packed storage (the r3 gap: codes
+    stored 1 byte/elem made q4_0 cost q8_0 memory)."""
+    from vllm_metal_tpu.ops.turboquant import compression_ratio
+    for ck, cv in (("q8_0", "q3_0"), ("q4_0", "q3_0"), ("uint2", "q3_0")):
+        ccfg = CacheConfig(block_size=16, kv_quant_k=ck, kv_quant_v=cv)
+        cache = QuantPagedKVCache.allocate(CFG, ccfg, num_blocks=4)
+        bf16 = CFG.num_layers * CFG.num_kv_heads * 16 * CFG.head_dim * 2 * 2
+        got = bf16 / cache.bytes_per_block()
+        assert got == pytest.approx(
+            compression_ratio(ck, cv, CFG.head_dim), rel=1e-6)
+    # q4_0 must actually be ~1.5x smaller than q8_0 now
+    c8 = QuantPagedKVCache.allocate(
+        CFG, CacheConfig(block_size=16, kv_quant_k="q8_0",
+                         kv_quant_v="q3_0"), 4)
+    c4 = QuantPagedKVCache.allocate(
+        CFG, CacheConfig(block_size=16, kv_quant_k="q4_0",
+                         kv_quant_v="q3_0"), 4)
+    assert c4.bytes_per_block() < 0.7 * c8.bytes_per_block()

@@ -115,3 +115,12 @@ def test_tq_kernel_sinks_softcap_window():
     np.testing.assert_allclose(
         np.asarray(got, np.float32)[:total],
         np.asarray(want, np.float32)[:total], atol=0.06, rtol=0.05)
+
+
+def test_tq_kernel_q5_codec_both_lo_planes():
+    """q5_0 K (4+1 planes) + q3_0 V (2+1): the 7-pool packed DMA path."""
+    run_case([1, 6], [17, 30], codec_k="q5_0", atol=0.08)
+
+
+def test_tq_kernel_uint2_codec():
+    run_case([1, 4], [21, 12], codec_k="uint2", codec_v="q2_0", atol=0.3)

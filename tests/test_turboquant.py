@@ -84,3 +84,42 @@ def test_k_codes_respect_width():
     codes8, _, _ = k_encode(k, "q8_0")
     c8 = np.asarray(codes8)
     assert c8.min() >= -128 and c8.max() <= 127
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 5, 8])
+def test_pack_unpack_roundtrip(bits):
+    from vllm_metal_tpu.ops.turboquant import (
+        pack_codes, packed_widths, plane_split, unpack_codes)
+    rng = np.random.default_rng(bits)
+    d = 128
+    c = rng.integers(0, 1 << bits, (6, 3, d))
+    if bits == 8:
+        c = c.astype(np.int8)  # 8-bit stores raw int8 (maybe signed)
+    hi, lo = pack_codes(jnp.asarray(c), bits)
+    wh, wl = packed_widths(d, bits)
+    assert hi.shape[-1] == wh and hi.dtype == jnp.int8
+    if wl:
+        assert lo.shape[-1] == wl
+    else:
+        assert lo is None
+    back = np.asarray(unpack_codes(hi, lo, bits))
+    if bits == 8:
+        np.testing.assert_array_equal(back, c.astype(np.int32))
+    else:
+        np.testing.assert_array_equal(back, c)
+    # plane widths decompose the bit count exactly (storage is exact)
+    ph, plo = plane_split(bits)
+    assert ph + plo == bits
+
+
+def test_compression_ratios_match_reference_class():
+    """Packed pools must land in the reference's compression class
+    (/root/reference/docs/turboquant.md 'Compression': q8_0/q3_0 2.56x,
+    q5_0 3.37x, q4_0 3.76x, uint2 4.92x)."""
+    from vllm_metal_tpu.ops.turboquant import compression_ratio
+    ref = {("q8_0", "q3_0"): 2.56, ("q5_0", "q3_0"): 3.37,
+           ("q4_0", "q3_0"): 3.76, ("uint2", "q3_0"): 4.92}
+    for (ck, cv), want in ref.items():
+        got = compression_ratio(ck, cv, 128)
+        assert got >= want, (ck, cv, got, want)
+        assert got < want * 1.25, (ck, cv, got, want)

@@ -122,7 +122,8 @@ class CacheConfig:
         if self.block_size <= 0 or self.block_size & (self.block_size - 1):
             raise ValueError(
                 f"block_size must be a positive power of two, got {self.block_size}")
-        valid_k = ("", "q8_0", "q4_0", "int8", "uint8", "uint4")
+        valid_k = ("", "q8_0", "q5_0", "q4_0", "q2_0", "int8", "uint8",
+                   "uint4", "uint2")
         valid_v = ("", "q8_0", "q5_0", "q4_0", "q3_0", "q2_0")
         if self.kv_quant_k not in valid_k:
             raise ValueError(f"kv_quant_k must be one of {valid_k}")

@@ -5,8 +5,12 @@ The quantized sibling of ``paged_attention_kernel.py`` (same ragged-q-tile
 design; see that module).  What changes — mirroring the reference's
 dequant-in-kernel paths (``pagedattention.metal:1354`` TQ branches):
 
-* K tiles arrive as int8 codes + per-32-group scale/zero planes and
-  dequantize in VMEM (group expansion via a one-hot matmul).
+* K tiles arrive as PACKED bit planes (ops/turboquant.py strided layout:
+  8/w codes per int8 byte; sub-byte widths decompose into a 4/2-bit hi
+  plane + optional 1-bit lo plane) plus bf16 per-32-group scale/zero, and
+  unpack+dequantize in VMEM — the unpack is 8/w static shifts + one lane
+  concat per plane (the reference's sub-8-bit unpack, ``turboquant.metal``),
+  the group expansion a one-hot matmul.
 * V tiles stay in the FWHT-rotated space: centroid lookup (compare-select
   over the small Lloyd-Max codebook) with the per-token scale folded into
   the softmax weights, and the **inverse FWHT deferred to finalization** —
@@ -15,6 +19,10 @@ dequant-in-kernel paths (``pagedattention.metal:1354`` TQ branches):
   is the reference's "inverse FWHT in the reduce pass" optimization
   (−23% TPOT claim, ``paged_ops.cpp:421-423``) — here it costs one tiny
   MXU dot per program.
+
+Packed planes cut the DMA bytes to match the compression ratio: a q4_0 K
+tile moves 64+16 bytes/token instead of 128+32 — decode stays
+HBM-bandwidth-bound, so less traffic is directly faster.
 """
 
 from __future__ import annotations
@@ -45,17 +53,40 @@ def _hadamard_signs_matrix(d: int) -> np.ndarray:
     return (h * signs[:, None]).astype(np.float32)     # M[d, j]
 
 
+def _unpack_tile(p: jax.Array, w: int) -> jax.Array:
+    """[T, d*w/8] int8 plane -> [T, d] int32 codes (strided layout:
+    piece s covers code lanes [s*n, (s+1)*n) at bit offset s*w)."""
+    cpb = 8 // w
+    pi = p.astype(jnp.int32) & 0xFF
+    return jnp.concatenate(
+        [(pi >> (s * w)) & ((1 << w) - 1) for s in range(cpb)], axis=-1)
+
+
 def _kernel(
     layer, qsl, ctx, tile_first_seq, block_tables,
-    q_blk, kc_hbm, ks_hbm, kz_hbm, vc_hbm, vs_hbm, hmat_vmem, sinks_smem,
-    o_blk,
-    kcb, ksb, kzb, vcb, vsb, acc, m_s, l_s, sems,
-    *,
+    q_blk, *refs,
     bq: int, bs: int, g: int, d: int, scale: float, kg: int,
-    k_signed: bool, k_bits: int, v_levels: tuple,
+    k_signed: bool, k_planes: tuple, v_planes: tuple, v_levels: tuple,
     sliding_window: Optional[int],
     logit_softcap: Optional[float], has_sinks: bool,
 ):
+    has_klo = k_planes[1] > 0
+    has_vlo = v_planes[1] > 0
+    n_arr = 5 + int(has_klo) + int(has_vlo)
+    hbm = refs[:n_arr]
+    hmat_vmem = refs[n_arr]
+    sinks_smem = refs[n_arr + 1]
+    o_blk = refs[n_arr + 2]
+    bufs = refs[n_arr + 3:n_arr + 3 + n_arr]
+    acc, m_s, l_s, sems = refs[n_arr + 3 + n_arr:]
+    i_kc = 0
+    i_klo = 1 if has_klo else -1
+    i_ks = 1 + int(has_klo)
+    i_kz = i_ks + 1
+    i_vc = i_kz + 1
+    i_vlo = i_vc + 1 if has_vlo else -1
+    i_vs = n_arr - 1
+
     h = pl.program_id(0)
     ti = pl.program_id(1)
     c = KV_TILE // bs
@@ -78,21 +109,12 @@ def _kernel(
             blk_idx = jnp.minimum(tile * c + ci, mb - 1)
             blk = block_tables[seq, blk_idx]
             sl = pl.ds(ci * bs, bs)
-            cps.append(pltpu.make_async_copy(
-                kc_hbm.at[li, h, blk], kcb.at[slot, sl, :],
-                sems.at[slot, 5 * ci + 0]))
-            cps.append(pltpu.make_async_copy(
-                ks_hbm.at[li, h, blk], ksb.at[slot, sl, :],
-                sems.at[slot, 5 * ci + 1]))
-            cps.append(pltpu.make_async_copy(
-                kz_hbm.at[li, h, blk], kzb.at[slot, sl, :],
-                sems.at[slot, 5 * ci + 2]))
-            cps.append(pltpu.make_async_copy(
-                vc_hbm.at[li, h, blk], vcb.at[slot, sl, :],
-                sems.at[slot, 5 * ci + 3]))
-            cps.append(pltpu.make_async_copy(
-                vs_hbm.at[li, h, blk], vsb.at[slot, :, sl],
-                sems.at[slot, 5 * ci + 4]))
+            for j in range(n_arr):
+                dst = (bufs[j].at[slot, :, sl] if j == i_vs
+                       else bufs[j].at[slot, sl, :])
+                cps.append(pltpu.make_async_copy(
+                    hbm[j].at[li, h, blk], dst,
+                    sems.at[slot, n_arr * ci + j]))
         return cps
 
     def start_kv(seq, tile, slot):
@@ -137,26 +159,38 @@ def _kernel(
                 start_kv(seq, t + 1, 1 - slot)
             wait_kv(seq, t, slot)
 
-            # --- K dequant: codes * scale + zero ---
-            kc32 = kcb[slot].astype(jnp.int32)
-            if not k_signed:
-                kc32 = kc32 & ((1 << k_bits) - 1)
-            ks = expand_groups(ksb[slot])
-            kz = expand_groups(kzb[slot])
+            # --- K unpack + dequant: codes * scale + zero ---
+            if k_planes[0] == 8:
+                kc32 = bufs[i_kc][slot].astype(jnp.int32)
+                if not k_signed:
+                    kc32 = kc32 & 0xFF
+            else:
+                kc32 = _unpack_tile(bufs[i_kc][slot], k_planes[0])
+                if has_klo:
+                    kc32 = kc32 | (
+                        _unpack_tile(bufs[i_klo][slot], 1) << k_planes[0])
+            ks = expand_groups(bufs[i_ks][slot].astype(jnp.float32))
+            kz = expand_groups(bufs[i_kz][slot].astype(jnp.float32))
             if k_signed:
                 kt = (kc32.astype(jnp.float32) * ks).astype(jnp.bfloat16)
             else:
                 kt = (kc32.astype(jnp.float32) * ks + kz
                       ).astype(jnp.bfloat16)
 
-            # --- V centroid lookup (stays in rotated space) ---
-            vbits = len(v_levels).bit_length() - 1
-            vc32 = vcb[slot].astype(jnp.int32) & (len(v_levels) - 1)
+            # --- V unpack + centroid lookup (stays in rotated space) ---
+            if v_planes[0] == 8:
+                vc32 = bufs[i_vc][slot].astype(jnp.int32) \
+                    & (len(v_levels) - 1)
+            else:
+                vc32 = _unpack_tile(bufs[i_vc][slot], v_planes[0])
+                if has_vlo:
+                    vc32 = vc32 | (
+                        _unpack_tile(bufs[i_vlo][slot], 1) << v_planes[0])
             vt = jnp.zeros(vc32.shape, jnp.float32)
             for idx, lv in enumerate(v_levels):
                 vt = jnp.where(vc32 == idx, lv, vt)
             vt = vt.astype(jnp.bfloat16)
-            vscale = vsb[slot][0]                     # [KV_TILE] f32
+            vscale = bufs[i_vs][slot][0].astype(jnp.float32)  # [KV_TILE]
 
             kv_pos = t * KV_TILE + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, KV_TILE), 1)
@@ -231,54 +265,56 @@ def _kernel(
     static_argnames=("scale", "sliding_window", "codec_k", "codec_v", "bq",
                      "logit_softcap", "has_sinks", "interpret"))
 def _tq_attention_call(
-    q_t, kc, ks, kz, vc, vs, hmat, sinks_arr,
+    q_t, pools, hmat, sinks_arr,
     layer, qsl, ctx, tile_first_seq, block_tables,
     *, scale, sliding_window, codec_k, codec_v, bq, logit_softcap,
     has_sinks, interpret,
 ):
     kvh, g, t2, d = q_t.shape
-    _, _, nb, bs, _ = kc.shape
+    nb, bs = pools[0].shape[2], pools[0].shape[3]
     assert KV_TILE % bs == 0
     n_tiles = t2 // bq
     c = KV_TILE // bs
     kg = tq.K_BLOCK
 
     k_signed, k_bits = tq._K_PARAMS[codec_k]
+    k_planes = tq.plane_split(k_bits)
+    v_planes = tq.plane_split(tq._V_BITS[codec_v])
     v_levels = tuple(float(x) for x in tq._lloyd_codebook(
         tq._V_BITS[codec_v]))
+    n_arr = len(pools)
+    i_vs = n_arr - 1
 
     kernel = functools.partial(
         _kernel, bq=bq, bs=bs, g=g, d=d, scale=scale, kg=kg,
-        k_signed=k_signed, k_bits=k_bits, v_levels=v_levels,
+        k_signed=k_signed, k_planes=k_planes, v_planes=v_planes,
+        v_levels=v_levels,
         sliding_window=sliding_window, logit_softcap=logit_softcap,
         has_sinks=has_sinks)
 
+    # double-buffered per-array staging: vs transposes ([2, 1, KV_TILE]);
+    # everything else stages rows [2, KV_TILE, last]
+    scratch = [
+        pltpu.VMEM((2, 1, KV_TILE) if j == i_vs
+                   else (2, KV_TILE, p.shape[-1]), p.dtype)
+        for j, p in enumerate(pools)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(kvh, n_tiles),
         in_specs=[
             pl.BlockSpec((1, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # k codes
-            pl.BlockSpec(memory_space=pl.ANY),      # k scale
-            pl.BlockSpec(memory_space=pl.ANY),      # k zero
-            pl.BlockSpec(memory_space=pl.ANY),      # v codes
-            pl.BlockSpec(memory_space=pl.ANY),      # v scale
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hadamard matrix
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sinks
         ],
         out_specs=pl.BlockSpec((1, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, KV_TILE, d), jnp.int8),           # k codes
-            pltpu.VMEM((2, KV_TILE, d // kg), jnp.float32),  # k scale
-            pltpu.VMEM((2, KV_TILE, d // kg), jnp.float32),  # k zero
-            pltpu.VMEM((2, KV_TILE, d), jnp.int8),           # v codes
-            pltpu.VMEM((2, 1, KV_TILE), jnp.float32),        # v scale
+        scratch_shapes=scratch + [
             pltpu.VMEM((g, bq, d), jnp.float32),             # acc
             pltpu.VMEM((g, bq, 128), jnp.float32),           # m
             pltpu.VMEM((g, bq, 128), jnp.float32),           # l
-            pltpu.SemaphoreType.DMA((2, 5 * c)),
+            pltpu.SemaphoreType.DMA((2, n_arr * c)),
         ],
     )
     return pl.pallas_call(
@@ -287,7 +323,7 @@ def _tq_attention_call(
         out_shape=jax.ShapeDtypeStruct((kvh, g, t2, d), q_t.dtype),
         interpret=interpret,
     )(layer, qsl, ctx, tile_first_seq, block_tables,
-      q_t, kc, ks, kz, vc, vs, hmat, sinks_arr)
+      q_t, *pools, hmat, sinks_arr)
 
 
 def tq_paged_attention(
@@ -324,10 +360,10 @@ def tq_paged_attention(
     # the write-kernel row layout (quant_kv_cache.py)
     l, kh, nb, bs = cache.v_scale.shape[:4]
     vs = cache.v_scale.reshape(l, kh, nb, 1, bs)
+    pools = cache._pools()[:-1] + (vs,)    # same order, vs transposed
 
     out_t = _tq_attention_call(
-        q_t.astype(jnp.bfloat16), cache.k_codes, cache.k_scale,
-        cache.k_zero, cache.v_codes, vs, hmat, sinks_arr,
+        q_t.astype(jnp.bfloat16), pools, hmat, sinks_arr,
         layer, md.query_start_loc, md.context_lens, md.tile_first_seq,
         md.block_tables,
         scale=float(scale), sliding_window=sliding_window,

@@ -99,8 +99,10 @@ def _tq_write_kernel(layer_ref, slots_ref, ntok_ref, *refs,
             for j in range(n_arr):
                 sel = jax.lax.broadcasted_iota(
                     jnp.int32, stages[j].shape[1:], 1) == row
-                stages[j][g] = jnp.where(
-                    sel, new[j][i][:, None, :], stages[j][g])
+                # new rows arrive pre-replicated to [kh, _GRP, last]
+                # (host-side broadcast): a bare where, no in-kernel
+                # reshape — Mosaic rejects sub-lane bf16 reshapes
+                stages[j][g] = jnp.where(sel, new[j][i], stages[j][g])
         return g, lastg
 
     g, _ = jax.lax.fori_loop(0, n_tok, blend,
@@ -126,33 +128,30 @@ def _tq_write_kernel(layer_ref, slots_ref, ntok_ref, *refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "interpret"),
-                   donate_argnums=(0, 1, 2, 3, 4))
+                   donate_argnums=(0,))
 def tq_cache_write(
-    k_codes: jax.Array,        # [L, KH, NB, bs, D] int8 (aliased)
-    k_scale: jax.Array,        # [L, KH, NB, bs, g] f32 (aliased)
-    k_zero: jax.Array,         # [L, KH, NB, bs, g] f32 (aliased)
-    v_codes: jax.Array,        # [L, KH, NB, bs, D] int8 (aliased)
-    v_scale: jax.Array,        # [L, KH, NB, bs, 1] f32 (aliased)
-    kc_new: jax.Array,         # [T, KH, D] int8
-    ks_new: jax.Array,         # [T, KH, g] f32
-    kz_new: jax.Array,
-    vc_new: jax.Array,         # [T, KH, D] int8
-    vs_new: jax.Array,         # [T, KH, 1] f32
+    pools: tuple,              # N arrays [L, KH, NB, bs, last_j] (aliased)
+    news: tuple,               # N arrays [T, KH, last_j]
     slot_mapping: jax.Array,   # [T] (-1 = skip)
     layer_idx,
     block_size: int,
     interpret: bool = False,
     num_tokens=None,
 ):
+    """Scatter N new-row arrays into N aliased pools sharing the
+    ``[L, KH, NB, bs, last]`` row structure (packed TQ uses up to 7:
+    code hi/lo planes + scales/zeros — ``attention/quant_kv_cache.py``)."""
     bs = block_size
-    t_pad = kc_new.shape[0]
-    kh = kc_new.shape[1]
+    t_pad = news[0].shape[0]
+    kh = news[0].shape[1]
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     ntok = jnp.asarray(t_pad if num_tokens is None else num_tokens,
                        jnp.int32).reshape(1)
-    pools = (k_codes, k_scale, k_zero, v_codes, v_scale)
-    news = (kc_new, ks_new, kz_new, vc_new, vs_new)
-    news = tuple(n.astype(p.dtype) for n, p in zip(news, pools))
+    pools = tuple(pools)
+    news = tuple(
+        jnp.broadcast_to(n.astype(p.dtype)[:, :, None, :],
+                         (t_pad, kh, _GRP, p.shape[-1]))
+        for n, p in zip(news, pools))
     n_arr = len(pools)
 
     kernel = functools.partial(_tq_write_kernel, t_pad=t_pad, bs=bs,

@@ -12,10 +12,15 @@ Re-implements the math of the reference's codec
   quantization (precomputed 3-bit table ``:19-44``; iteratively fitted for
   other widths ``:117``), per-head-vector scale.
 
-Unlike the reference (which packs sub-8-bit codes into bytes for Metal),
-codes are stored one-per-int8 with scales/zeros in separate arrays: on TPU
-the cache pool stays densely tiled and the dequant fuses into the attention
-kernel.  Packing to 4-bit pairs is a follow-up memory optimization.
+Like the reference (``turboquant.py:242-339`` packs 2/3/4/5-bit codes),
+sub-8-bit codes are stored PACKED so the compression is real: each width
+decomposes into bit planes from {4, 2, 1} (5 = 4+1, 3 = 2+1), and every
+plane packs 8/w codes per int8 byte along the head dim in a STRIDED
+layout — byte ``j`` of a w-bit plane holds codes ``{j, j+n, .., j+(8/w-1)n}``
+(n = D*w/8), so the in-kernel unpack is 8/w static shifts plus one lane
+concatenation (no cross-byte bit extraction, no vector-shift-by-vector).
+Scales/zeros store as bfloat16 (encode rounds scales to bf16 first so the
+stored value is exactly what dequant uses).
 
 Supported widths (matching reference names):
   K: "q8_0" (signed int8), "q4_0" (uint4), "uint8", "uint4", "int8"
@@ -78,6 +83,69 @@ def _lloyd_codebook(bits: int) -> np.ndarray:
     return levels.astype(np.float32)
 
 
+def plane_split(bits: int) -> tuple[int, int]:
+    """(hi_width, lo_width) bit-plane decomposition; code = hi | (lo << hi_w)."""
+    return {8: (8, 0), 5: (4, 1), 4: (4, 0), 3: (2, 1), 2: (2, 0)}[bits]
+
+
+def packed_widths(d: int, bits: int) -> tuple[int, int]:
+    """Packed byte widths (hi_plane, lo_plane) for a D-wide code row."""
+    hi, lo = plane_split(bits)
+    return d * hi // 8, d * lo // 8
+
+
+def pack_codes(codes: jax.Array, bits: int
+               ) -> tuple[jax.Array, "jax.Array | None"]:
+    """codes [..., D] -> (hi [..., D*hi/8] int8, lo [..., D*lo/8] int8|None).
+
+    Strided plane layout: piece ``s`` of a w-bit plane covers code lanes
+    [s*n, (s+1)*n) at bit offset s*w (n = D*w/8)."""
+    hi, lo = plane_split(bits)
+    if hi == 8:
+        return codes.astype(jnp.int8), None
+    c = codes.astype(jnp.int32) & ((1 << bits) - 1)
+    d = c.shape[-1]
+
+    def pack_plane(vals, w):
+        cpb = 8 // w
+        n = d // cpb
+        out = jnp.zeros(c.shape[:-1] + (n,), jnp.int32)
+        for s in range(cpb):
+            out = out | (vals[..., s * n:(s + 1) * n] << (s * w))
+        return out.astype(jnp.int8)
+
+    hi_arr = pack_plane(c & ((1 << hi) - 1), hi)
+    lo_arr = pack_plane(c >> hi, lo) if lo else None
+    return hi_arr, lo_arr
+
+
+def unpack_codes(hi_arr: jax.Array, lo_arr, bits: int) -> jax.Array:
+    """Inverse of pack_codes -> [..., D] int32 in [0, 2^bits).
+
+    For 8-bit input returns the raw int32 widening (caller handles
+    signedness).  Kernel-safe: static shifts + one lane concat."""
+    hi, lo = plane_split(bits)
+    if hi == 8:
+        return hi_arr.astype(jnp.int32)
+
+    def unpack_plane(p, w):
+        cpb = 8 // w
+        pi = p.astype(jnp.int32) & 0xFF
+        return jnp.concatenate(
+            [(pi >> (s * w)) & ((1 << w) - 1) for s in range(cpb)],
+            axis=-1)
+
+    c = unpack_plane(hi_arr, hi)
+    if lo:
+        c = c | (unpack_plane(lo_arr, lo) << hi)
+    return c
+
+
+def _round_bf16(x: jax.Array) -> jax.Array:
+    """Round to the bf16 grid (pool storage dtype) but keep f32 compute."""
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def fwht_signs(head_dim: int) -> np.ndarray:
     """Fixed random sign vector (+-1) — the codec's rotation randomization."""
@@ -117,7 +185,7 @@ def k_encode(k: jax.Array, codec: str) -> tuple[jax.Array, jax.Array,
     if signed:
         amax = jnp.max(jnp.abs(kb), axis=-1, keepdims=True)
         qmax = float((1 << (bits - 1)) - 1)
-        scale = amax / qmax
+        scale = _round_bf16(amax / qmax)     # pool stores bf16 scales
         inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-20), 0.0)
         codes = jnp.clip(jnp.round(kb * inv), -qmax - 1, qmax)
         zero = jnp.zeros_like(scale)
@@ -125,10 +193,10 @@ def k_encode(k: jax.Array, codec: str) -> tuple[jax.Array, jax.Array,
         mn = jnp.min(kb, axis=-1, keepdims=True)
         mx = jnp.max(kb, axis=-1, keepdims=True)
         qmax = float((1 << bits) - 1)
-        scale = (mx - mn) / qmax
+        scale = _round_bf16((mx - mn) / qmax)
+        zero = _round_bf16(mn)
         inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-20), 0.0)
-        codes = jnp.clip(jnp.round((kb - mn) * inv), 0, qmax)
-        zero = mn
+        codes = jnp.clip(jnp.round((kb - zero) * inv), 0, qmax)
     # float->int8 in XLA saturates at 127; go via int32 (wrapping) so
     # unsigned codes 128..255 round-trip through the int8 store
     codes_i8 = codes.astype(jnp.int32).astype(jnp.int8)
@@ -165,7 +233,7 @@ def v_encode(v: jax.Array, codec: str) -> tuple[jax.Array, jax.Array]:
     assert d in FWHT_SUPPORTED_HEAD_DIMS, d
     signs = jnp.asarray(fwht_signs(d))
     r = fwht(v.astype(jnp.float32) * signs)
-    scale = jnp.sqrt(jnp.mean(r * r, axis=-1) + 1e-12)
+    scale = _round_bf16(jnp.sqrt(jnp.mean(r * r, axis=-1) + 1e-12))
     rn = r / scale[..., None]
     levels = jnp.asarray(_lloyd_codebook(bits))
     idx = jnp.argmin(
@@ -186,10 +254,15 @@ def v_decode(codes: jax.Array, scale: jax.Array, codec: str,
 
 
 def compression_ratio(codec_k: str, codec_v: str, head_dim: int) -> float:
-    """Effective cache compression vs bf16 for the int8-stored codes
-    (analysis only; packed storage would match the reference's ratios)."""
+    """Cache compression vs bf16 for the PACKED pool layout (codes in bit
+    planes, bf16 scales) — the layout ``QuantPagedKVCache`` allocates.
+    Reference comparison: ``/root/reference/docs/turboquant.md``
+    "Compression" (q8_0/q3_0 2.56x .. uint2/q3_0 4.92x)."""
     _, kb = _K_PARAMS[codec_k]
-    base = head_dim * 2
-    k_bytes = head_dim + head_dim // K_BLOCK * 8
-    v_bytes = head_dim + 4
-    return 2 * base / (k_bytes + v_bytes)
+    vb = _V_BITS[codec_v]
+    base = 2 * head_dim * 2                 # K + V rows in bf16
+    k_hi, k_lo = packed_widths(head_dim, kb)
+    v_hi, v_lo = packed_widths(head_dim, vb)
+    k_bytes = k_hi + k_lo + head_dim // K_BLOCK * 2 * 2   # + bf16 scale+zero
+    v_bytes = v_hi + v_lo + 2                             # + bf16 scale
+    return base / (k_bytes + v_bytes)

@@ -113,8 +113,8 @@ def cache_pspecs(cache: Any) -> Any:
         names = [p.name for p in path if hasattr(p, "name")]
         if names and names[-1] == "kv":
             return cache_pspec()
-        if names and names[-1] in ("k_codes", "k_scale", "k_zero",
-                                   "v_codes", "v_scale"):
+        if names and names[-1] in ("k_codes", "k_lo", "k_scale", "k_zero",
+                                   "v_codes", "v_lo", "v_scale"):
             return P(None, "model", None, None, None)
         return P()
 
