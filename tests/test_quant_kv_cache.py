@@ -51,9 +51,11 @@ def test_quant_cache_pad_slots_dropped():
     slots = jnp.asarray([16, 17, -1, -1], jnp.int32)
     cache = cache.write(0, k, k, slots)
     assert np.asarray(cache.k_codes[0, :, 0]).any() == False  # block 0 clean
-    # -1 must NOT wrap to the pool's last slot (block 3, row 15)
-    assert np.asarray(cache.k_codes[0, :, 3, 15]).any() == False
-    assert np.asarray(cache.v_codes[0, :, 3, 15]).any() == False
+    # -1 must NOT wrap to the pool's last block
+    assert np.asarray(cache.k_codes[0, :, 3]).any() == False
+    assert np.asarray(cache.v_codes[0, :, 3]).any() == False
+    # ...and the intended block got both tokens
+    assert np.asarray(cache.k_codes[0, :, 1]).any()
 
 
 @pytest.mark.parametrize("ck,cv,atol", [
@@ -115,10 +117,10 @@ def test_engine_e2e_with_quant_cache():
     [47, 0, 16],                          # non-monotonic block hops
 ])
 def test_tq_write_kernel_matches_scatter(slots, ck, cv):
-    """Aliased Pallas TQ write (interpret) == jnp scatter path across all
-    pool arrays incl. packed bit planes (reference: TQEncodePrimitive,
-    paged_ops.cpp:846)."""
-    from vllm_metal_tpu.ops.tq_cache_write import tq_cache_write
+    """Aliased Pallas block-merge write (interpret) == jnp blend path
+    across all pool arrays incl. packed bit planes (reference:
+    TQEncodePrimitive, paged_ops.cpp:846)."""
+    from vllm_metal_tpu.ops.tq_cache_write import tq_block_write
 
     rng = np.random.default_rng(len(slots))
     mc = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=64,
@@ -140,12 +142,13 @@ def test_tq_write_kernel_matches_scatter(slots, ck, cv):
     sl = np.full(t_pad, -1, np.int32)
     sl[:t] = slots
 
-    news = cache._encode_rows(jnp.asarray(k), jnp.asarray(v))
-    # jnp scatter path first (tq_cache_write donates the pool arrays)
+    ublocks, payloads, masks = cache._merged_payloads(
+        jnp.asarray(k), jnp.asarray(v), jnp.asarray(sl))
+    # jnp blend path first (tq_block_write donates the pool arrays)
     want = cache.write(1, jnp.asarray(k), jnp.asarray(v),
                        jnp.asarray(sl))
-    got = tq_cache_write(cache._pools(), news, jnp.asarray(sl), 1,
-                         block_size=16, interpret=True)
+    got = tq_block_write(cache._pools(), ublocks, payloads, masks, 1,
+                         interpret=True)
     for g, w in zip(got, want._pools()):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 

@@ -78,13 +78,13 @@ class PagedAttentionBackend:
             # dots and the padded output columns slice away below
             q = jnp.pad(q, ((0, 0), (0, 0), (0, dp - d)))
         if isinstance(cache, QuantPagedKVCache):
-            # the ragged TQ kernel DMAs sub-128-lane scale/plane tiles,
-            # which real-TPU Mosaic rejects (quant_kv_cache.write has the
-            # probe details); interpret mode (parity tests) still runs it
-            import os
+            # real-TPU Mosaic requires 128-lane DMA tiles: the TQ kernel
+            # engages on chip when one block == one KV tile (block_size
+            # 128, head_dim % 128) so every payload row is full-lane;
+            # interpret mode (parity tests) runs any block size
             tq_kernel_ok = bool(envs.PALLAS_INTERPRET) or \
                 jax.default_backend() != "tpu" or \
-                os.environ.get("VLLM_METAL_TPU_PALLAS_TQ_ATTN") == "1"
+                (cache.block_size == 128 and self.cfg.head_dim % 128 == 0)
             if self.use_pallas and tq_kernel_ok:
                 from ..ops.paged_attention_tq_kernel import tq_paged_attention
                 out = tq_paged_attention(

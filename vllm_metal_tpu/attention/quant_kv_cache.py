@@ -1,15 +1,32 @@
 # SPDX-License-Identifier: Apache-2.0
-"""TurboQuant-compressed paged KV cache (PACKED sub-byte storage).
+"""TurboQuant-compressed paged KV cache (packed block-payload layout).
 
 TPU analogue of the reference's packed TQ allocation
 (``/root/reference/vllm_metal/attention/caches/kv_cache.py:160-198`` +
-bit packing ``turboquant.py:242-339``): codes store in bit planes packed
-8/w per byte (see ``ops/turboquant.py``), scales/zeros in bfloat16 — so
-q4_0/q3_0 really is ~3.9x smaller than bf16, matching the reference's
-compression table (``docs/turboquant.md``), not just lower-precision.
-Quantize-on-write is fused into the scatter; dequant happens at attention
-read (reference jnp path here; the Pallas kernel unpacks the same planes
-in-VMEM).
+bit packing ``turboquant.py:242-339``), laid out for the TPU's 128-lane
+memory system: every pool stores WHOLE-BLOCK payloads whose rows keep the
+full head-dim lane width —
+
+* ``k_codes``/``v_codes``: bit planes packed along the TOKEN axis
+  (``ops/turboquant.py::pack_block``): ``[L, KH, NB, bs*w/8, D]`` int8.
+* ``k_lo``/``v_lo``: optional 1-bit plane (5/3-bit codecs),
+  ``[L, KH, NB, bs/8, D]``.
+* ``k_scale``/``k_zero``: TRANSPOSED ``[L, KH, NB, D/32, bs]`` bf16
+  (lanes = tokens) — consumed by the kernel's group-split dots without
+  any in-kernel transpose.
+* ``v_scale``: ``[L, KH, NB, 1, bs]`` bf16.
+
+Real-TPU Mosaic requires 128-lane DMA tiles, so the Pallas read/write
+kernels engage when ``block_size == 128`` and ``head_dim % 128 == 0``
+(one block = one KV tile); other configs run the jnp gather/scatter
+paths (tests, CPU).  Compression matches the reference's table
+(q4_0/q3_0 ~3.9x vs bf16 — docs/quantization.md).
+
+Writes merge the step's tokens into per-block payload+mask tensors
+(bit-disjoint scatter-adds, traceable under jit), then blend blocks:
+``new_pool_block = (old & ~mask) | payload`` — RMW because packed bytes
+interleave DIFFERENT tokens' bits, so a token write must preserve its
+neighbors' fields.
 """
 
 from __future__ import annotations
@@ -27,15 +44,6 @@ from ..utils import static_dataclass
 @static_dataclass(meta_fields=("block_size", "codec_k", "codec_v",
                                "head_dim"))
 class QuantPagedKVCache:
-    """All pools share the ``[L, KH, NB, bs, last]`` row structure the
-    fused write kernel scatters into:
-
-    * ``k_codes``/``v_codes``: hi bit plane, int8, last = D*hi_bits/8
-    * ``k_lo``/``v_lo``: optional 1-bit plane (5/3-bit codecs), last = D/8
-    * ``k_scale``/``k_zero``: bf16, last = D/32
-    * ``v_scale``: bf16, last = 1
-    """
-
     k_codes: jax.Array
     k_lo: Optional[jax.Array]
     k_scale: jax.Array
@@ -74,23 +82,28 @@ class QuantPagedKVCache:
                  num_blocks: int, dtype=jnp.bfloat16) -> "QuantPagedKVCache":
         l, kh = model_cfg.num_layers, model_cfg.num_kv_heads
         bs, d = cache_cfg.block_size, model_cfg.head_dim
+        if bs % 8:
+            raise ValueError(
+                f"TurboQuant cache needs block_size % 8 == 0, got {bs}")
         g = d // tq.K_BLOCK
         ck = cache_cfg.kv_quant_k or "q8_0"
         cv = cache_cfg.kv_quant_v or "q3_0"
-        k_hi, k_lo = tq.packed_widths(d, tq._K_PARAMS[ck][1])
-        v_hi, v_lo = tq.packed_widths(d, tq._V_BITS[cv])
+        k_hi, k_lo = tq.block_plane_rows(bs, tq._K_PARAMS[ck][1])
+        v_hi, v_lo = tq.block_plane_rows(bs, tq._V_BITS[cv])
 
-        def pool(last, dt=jnp.int8):
-            return jnp.zeros((l, kh, num_blocks, bs, last), dt)
+        def pool(rows, lanes, dt=jnp.int8):
+            return jnp.zeros((l, kh, num_blocks, rows, lanes), dt)
 
         return cls(
-            k_codes=pool(k_hi),
-            k_lo=pool(k_lo) if k_lo else None,
-            k_scale=pool(g, jnp.bfloat16),
-            k_zero=pool(g, jnp.bfloat16),
-            v_codes=pool(v_hi),
-            v_lo=pool(v_lo) if v_lo else None,
-            v_scale=pool(1, jnp.bfloat16),
+            k_codes=pool(k_hi, d),
+            k_lo=pool(k_lo, d) if k_lo else None,
+            k_scale=pool(g, bs, jnp.bfloat16),
+            k_zero=pool(g, bs, jnp.bfloat16),
+            v_codes=pool(v_hi, d),
+            v_lo=pool(v_lo, d) if v_lo else None,
+            # 2 rows (row 1 unused): bf16 VMEM slices tile at (2, 128),
+            # so a 1-row payload can't DMA on real TPU
+            v_scale=pool(2, bs, jnp.bfloat16),
             block_size=bs, codec_k=ck, codec_v=cv, head_dim=d,
         )
 
@@ -118,90 +131,157 @@ class QuantPagedKVCache:
             block_size=self.block_size, codec_k=self.codec_k,
             codec_v=self.codec_v, head_dim=self.head_dim)
 
-    def _encode_rows(self, k: jax.Array, v: jax.Array) -> tuple:
-        """[T, KH, D] rows -> packed new-row arrays in ``_pools`` order."""
-        kc, ks, kz = tq.k_encode(k, self.codec_k)       # [T,KH,D],[T,KH,g]x2
-        vc, vs = tq.v_encode(v, self.codec_v)           # [T,KH,D],[T,KH]
-        k_hi, k_lo = tq.pack_codes(kc, self.k_bits)
-        v_hi, v_lo = tq.pack_codes(vc, self.v_bits)
-        news = [k_hi]
-        if self.k_lo is not None:
-            news.append(k_lo)
-        news += [ks, kz, v_hi]
-        if self.v_lo is not None:
-            news.append(v_lo)
-        news.append(vs[..., None])
-        return tuple(news)
+    # ------------------------------------------------------------------
+    def _merged_payloads(self, k, v, slot_mapping, num_tokens=None):
+        """Merge the step's [T, KH, D] rows into per-block payload+mask
+        tensors (all traceable; writes happen inside the jitted step).
+
+        Returns (ublocks [B], payloads, masks) with B = T entries:
+        ublocks sorted-unique touched blocks (pad = num_blocks, dropped
+        downstream); per pool j: payload/mask [B, KH, rows_j, lanes_j]
+        where mask marks the bits/lanes this step owns.
+        """
+        t = k.shape[0]
+        kh = self.num_kv_heads
+        d = self.head_dim
+        bs, nb = self.block_size, self.num_blocks
+        g = d // tq.K_BLOCK
+
+        kc, ks, kz = tq.k_encode(k, self.codec_k)     # [T,KH,D],[T,KH,g]x2
+        vc, vs = tq.v_encode(v, self.codec_v)         # [T,KH,D],[T,KH]
+
+        valid = slot_mapping >= 0
+        if num_tokens is not None:
+            valid &= jnp.arange(t) < num_tokens
+        blocks = jnp.where(valid, slot_mapping // bs, nb)
+        rb = jnp.where(valid, slot_mapping % bs, 0)
+        ublocks = jnp.unique(blocks, size=t, fill_value=nb)
+        pos = jnp.clip(jnp.searchsorted(ublocks, blocks), 0, t - 1)
+
+        def code_planes(codes, bits):
+            """[(payload, mask), ...] for the hi (and lo) plane pools."""
+            hi, lo = tq.plane_split(bits)
+            c = codes.astype(jnp.int32)
+            if hi == 8:
+                parts = [(c & 0xFF, 8)]
+            else:
+                c &= (1 << bits) - 1
+                parts = [(c & ((1 << hi) - 1), hi)]
+                if lo:
+                    parts.append((c >> hi, lo))
+            outs = []
+            for vals, w in parts:
+                n = bs * w // 8
+                r = rb % n
+                s = rb // n
+                shifted = vals << (s[:, None, None] * w)
+                mbits = ((1 << w) - 1) << (s * w)             # [T] i32
+                pay = jnp.zeros((t, kh, n, d), jnp.int32).at[
+                    pos, :, r].add(jnp.where(valid[:, None, None],
+                                             shifted, 0))
+                msk = jnp.zeros((t, n), jnp.int32).at[pos, r].add(
+                    jnp.where(valid, mbits, 0))
+                outs.append((pay.astype(jnp.int8),
+                             jnp.broadcast_to(
+                                 msk[:, None, :, None].astype(jnp.int8),
+                                 (t, kh, n, d))))
+            return outs
+
+        def scale_payload(vals, rows):
+            """vals [T, KH, rows] -> payload/mask [B, KH, rows, bs]."""
+            pay = jnp.zeros((t, kh, rows, bs), jnp.bfloat16).at[
+                pos, :, :, rb].set(
+                jnp.where(valid[:, None, None], vals.astype(jnp.bfloat16),
+                          0), mode="drop")
+            msk = jnp.zeros((t, bs), jnp.int8).at[pos, rb].max(
+                jnp.where(valid, 1, 0).astype(jnp.int8))
+            return pay, jnp.broadcast_to(msk[:, None, None, :],
+                                         (t, kh, rows, bs))
+
+        pairs = code_planes(kc, self.k_bits)
+        pairs.append(scale_payload(ks, g))
+        pairs.append(scale_payload(kz, g))
+        pairs += code_planes(vc, self.v_bits)
+        vs2 = jnp.concatenate([vs[..., None], jnp.zeros_like(vs)[..., None]],
+                              axis=-1)
+        pairs.append(scale_payload(vs2, 2))
+        payloads = tuple(p for p, _ in pairs)
+        masks = tuple(m for _, m in pairs)
+        return ublocks, payloads, masks
+
+    @staticmethod
+    def _blend(old, payload, mask):
+        """RMW merge of a block payload (bit fields for int8 code pools,
+        lane select for bf16 scale pools)."""
+        if old.dtype == jnp.int8:
+            return (old & ~mask) | payload
+        return jnp.where(mask != 0, payload, old)
 
     def write(self, layer_idx: int, k: jax.Array, v: jax.Array,
               slot_mapping: jax.Array,
               num_tokens=None) -> "QuantPagedKVCache":
-        """Fused quantize + pack + scatter (the reference's ``tq_encode``
-        primitive, ``paged_ops.cpp:846``).  k/v: [T, KH, D].
-
-        Encode/pack math stays in jnp (rows are tiny); the scatter goes
-        through the aliased Pallas write on TPU — the functional
-        ``.at[].set`` alternative round-trips every multi-GB pool per
-        layer (the same full-pool-copy pathology
-        ``ops/reshape_and_cache.py`` documents).
+        """Fused quantize + pack + block-merge write (the reference's
+        ``tq_encode`` primitive, ``paged_ops.cpp:846``).  k/v: [T, KH, D].
         """
         import os
-        kh, nb, bs = self.k_scale.shape[1:4]
-        news = self._encode_rows(k, v)
+        bs, nb = self.block_size, self.num_blocks
+        ublocks, payloads, masks = self._merged_payloads(
+            k, v, slot_mapping, num_tokens)
         pools = self._pools()
 
-        # The row-wave Pallas write DMAs sub-128-lane pool slices, which
-        # this Mosaic toolchain rejects on real TPU (probe: ANY->VMEM
-        # copies require 128-lane tiles for every dtype).  Opt-in only —
-        # the 128-lane block-payload layout (tq_block_layout.py) is the
-        # TPU-native path.
-        if (jax.default_backend() == "tpu"
-                and os.environ.get("VLLM_METAL_TPU_PALLAS_KV_WRITE") == "1"):
-            from ..ops.tq_cache_write import tq_cache_write
-            out = tq_cache_write(pools, news, slot_mapping, layer_idx,
-                                 block_size=bs, num_tokens=num_tokens)
+        if (jax.default_backend() == "tpu" and bs == 128
+                and self.head_dim % 128 == 0
+                and os.environ.get("VLLM_METAL_TPU_PALLAS_KV_WRITE") != "0"):
+            from ..ops.tq_cache_write import tq_block_write
+            out = tq_block_write(pools, ublocks, payloads, masks,
+                                 layer_idx)
             return self._rebuild(out)
 
-        # Pad slots are -1; .at[] normalizes negatives BEFORE the bounds
-        # check, so -1 would wrap to the pool's last slot. Remap to an
-        # out-of-range index so mode="drop" really drops them.
-        sm = jnp.where(slot_mapping < 0, nb * bs, slot_mapping)
+        # jnp path: gather touched blocks, blend, scatter back (pads in
+        # ublocks carry block id == num_blocks -> OOB -> mode="drop")
+        ub = jnp.minimum(ublocks, nb)
+        new_pools = []
+        for pool, pay, msk in zip(pools, payloads, masks):
+            old = pool[layer_idx][:, jnp.minimum(ub, nb - 1)]  # [KH,B,r,l]
+            blended = self._blend(old, jnp.moveaxis(pay, 0, 1),
+                                  jnp.moveaxis(msk, 0, 1))
+            # int layer index + advanced block index are separated by the
+            # head slice, so the indexed dims move to the FRONT: value
+            # shape is [B, KH, rows, lanes]
+            new_pools.append(pool.at[layer_idx, :, ub].set(
+                jnp.moveaxis(blended, 1, 0), mode="drop"))
+        return self._rebuild(tuple(new_pools))
 
-        def scat(pool, new):
-            last = pool.shape[-1]
-            p = pool[layer_idx].reshape(kh, nb * bs, last)
-            p = p.at[:, sm].set(
-                jnp.moveaxis(new, 0, 1).astype(p.dtype), mode="drop")
-            return pool.at[layer_idx].set(p.reshape(pool.shape[1:]))
-
-        return self._rebuild(tuple(
-            scat(p, n) for p, n in zip(pools, news)))
-
+    # ------------------------------------------------------------------
     def dequant_gathered(self, layer_idx: int, slot_idx: jax.Array,
                          dtype=jnp.bfloat16):
         """Gather + unpack + dequant KV rows for the reference attention
         path.  slot_idx: [T, max_kv] flat slots -> (k, v) [T, max_kv, KH, D].
+
+        Unpacks the layer's whole pool first (fallback-path economics:
+        fine for tests/CPU; the Pallas kernel path never calls this).
         """
-        kh, nb, bs = self.k_scale.shape[1:4]
-        g = self.head_dim // tq.K_BLOCK
+        kh, nb = self.num_kv_heads, self.num_blocks
+        bs, d = self.block_size, self.head_dim
+        g = d // tq.K_BLOCK
 
-        def gather(pool):
-            last = pool.shape[-1]
-            return pool[layer_idx].reshape(kh, nb * bs, last)[:, slot_idx]
-
-        kc = tq.unpack_codes(
-            gather(self.k_codes),
-            gather(self.k_lo) if self.k_lo is not None else None,
-            self.k_bits)
-        vc = tq.unpack_codes(
-            gather(self.v_codes),
-            gather(self.v_lo) if self.v_lo is not None else None,
-            self.v_bits)
-        ks = gather(self.k_scale).astype(jnp.float32)
-        kz = gather(self.k_zero).astype(jnp.float32)
-        vs = gather(self.v_scale)[..., 0].astype(jnp.float32)
-        k = tq.k_decode(kc, ks, kz, self.codec_k, dtype)
-        v = tq.v_decode(vc, vs, self.codec_v, dtype)
+        kcod = tq.unpack_block(
+            self.k_codes[layer_idx],
+            None if self.k_lo is None else self.k_lo[layer_idx],
+            self.k_bits).reshape(kh, nb * bs, d)[:, slot_idx]
+        vcod = tq.unpack_block(
+            self.v_codes[layer_idx],
+            None if self.v_lo is None else self.v_lo[layer_idx],
+            self.v_bits).reshape(kh, nb * bs, d)[:, slot_idx]
+        # scale pools are [KH, NB, rows, bs] (lanes = tokens)
+        ks = jnp.moveaxis(self.k_scale[layer_idx], -1, -2).reshape(
+            kh, nb * bs, g)[:, slot_idx].astype(jnp.float32)
+        kz = jnp.moveaxis(self.k_zero[layer_idx], -1, -2).reshape(
+            kh, nb * bs, g)[:, slot_idx].astype(jnp.float32)
+        vs = self.v_scale[layer_idx][:, :, 0, :].reshape(
+            kh, nb * bs)[:, slot_idx].astype(jnp.float32)
+        k = tq.k_decode(kcod, ks, kz, self.codec_k, dtype)
+        v = tq.v_decode(vcod, vs, self.codec_v, dtype)
         # [KH, T, max_kv, D] -> [T, max_kv, KH, D]
         return (jnp.moveaxis(k, 0, 2), jnp.moveaxis(v, 0, 2))
 

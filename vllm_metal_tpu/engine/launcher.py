@@ -100,6 +100,16 @@ def build_engine(model_path: str,
         mcfg.max_model_len = min(max_model_len, mcfg.max_model_len) \
             if mcfg.max_model_len else max_model_len
 
+    if (kv_quant_k and jax.default_backend() == "tpu"
+            and block_size != 128 and mcfg.head_dim % 128 == 0):
+        # the Pallas TQ kernels need one block == one 128-token KV tile
+        # (128-lane DMA alignment, docs/quantization.md "Kernel status");
+        # other sizes would run the slow jnp fallback on chip
+        logger.warning(
+            "kv-quant on TPU: raising block_size %d -> 128 so the Pallas "
+            "TQ kernels engage", block_size)
+        block_size = 128
+
     from ..config import SpecConfig
     cfg = EngineConfig(
         model=mcfg,

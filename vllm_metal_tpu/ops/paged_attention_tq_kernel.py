@@ -2,27 +2,30 @@
 """Paged varlen attention over the TurboQuant-compressed KV pool (Pallas).
 
 The quantized sibling of ``paged_attention_kernel.py`` (same ragged-q-tile
-design; see that module).  What changes — mirroring the reference's
-dequant-in-kernel paths (``pagedattention.metal:1354`` TQ branches):
+design; see that module), over the 128-lane BLOCK-PAYLOAD pool layout
+(``attention/quant_kv_cache.py``) — every DMA moves full-lane tiles, the
+constraint real-TPU Mosaic puts on ANY->VMEM copies:
 
-* K tiles arrive as PACKED bit planes (ops/turboquant.py strided layout:
-  8/w codes per int8 byte; sub-byte widths decompose into a 4/2-bit hi
-  plane + optional 1-bit lo plane) plus bf16 per-32-group scale/zero, and
-  unpack+dequantize in VMEM — the unpack is 8/w static shifts + one lane
-  concat per plane (the reference's sub-8-bit unpack, ``turboquant.metal``),
-  the group expansion a one-hot matmul.
-* V tiles stay in the FWHT-rotated space: centroid lookup (compare-select
-  over the small Lloyd-Max codebook) with the per-token scale folded into
-  the softmax weights, and the **inverse FWHT deferred to finalization** —
-  the attention accumulator lives in rotated space and one [bq, D] x [D, D]
-  matmul (Hadamard x sign matrix) undoes the rotation per head-group.  This
-  is the reference's "inverse FWHT in the reduce pass" optimization
-  (−23% TPOT claim, ``paged_ops.cpp:421-423``) — here it costs one tiny
-  MXU dot per program.
+* K/V codes arrive as bit planes packed along the token axis
+  (``turboquant.py::pack_block``); the in-VMEM unpack is 8/w static
+  shifts + one SUBLANE concat per plane — no transposes, no
+  vector-shift-by-vector (mirrors the reference's sub-8-bit unpack,
+  ``turboquant.metal``).
+* K scales/zeros arrive TRANSPOSED ``[D/32, tokens]`` and are consumed by
+  GROUP-SPLIT dots: s = sum_g (q_g @ K_codes_g^T) * scale_row_g, plus one
+  [bq, D/32] x [D/32, T] dot for the zero term (zero contribution to
+  q.k is zero_g * sum of q's group lanes) — so the per-(token, group)
+  scale never needs expanding into token-major orientation.
+* V stays in FWHT-rotated space: centroid lookup, per-token scale folded
+  into the softmax weights, inverse FWHT deferred to finalization (one
+  [bq, D] x [D, D] matmul per head-group) — the reference's
+  "inverse FWHT in the reduce pass" (−23% TPOT, ``paged_ops.cpp:421``).
 
-Packed planes cut the DMA bytes to match the compression ratio: a q4_0 K
-tile moves 64+16 bytes/token instead of 128+32 — decode stays
-HBM-bandwidth-bound, so less traffic is directly faster.
+Packed planes cut DMA bytes to the compression ratio: a q4_0/q3_0 tile
+moves ~130 B/token instead of 512 — decode is HBM-bandwidth-bound, so
+less traffic is directly faster.  Real TPU requires block_size == 128
+(one block = one KV tile, so scale rows are full 128-lane); smaller
+block sizes run in interpret mode (tests) or the jnp reference path.
 """
 
 from __future__ import annotations
@@ -53,25 +56,38 @@ def _hadamard_signs_matrix(d: int) -> np.ndarray:
     return (h * signs[:, None]).astype(np.float32)     # M[d, j]
 
 
-def _unpack_tile(p: jax.Array, w: int) -> jax.Array:
-    """[T, d*w/8] int8 plane -> [T, d] int32 codes (strided layout:
-    piece s covers code lanes [s*n, (s+1)*n) at bit offset s*w)."""
-    cpb = 8 // w
-    pi = p.astype(jnp.int32) & 0xFF
-    return jnp.concatenate(
-        [(pi >> (s * w)) & ((1 << w) - 1) for s in range(cpb)], axis=-1)
+def _unpack_chunk(hi_vals, lo_vals, bits: int, bs: int):
+    """One block's loaded plane rows -> [bs, D] int32 codes.
+
+    hi_vals [bs*hi/8, D]; lo_vals [bs/8, D] or None.  Static shifts +
+    sublane concat (kernel-safe)."""
+    hi, lo = tq.plane_split(bits)
+    if hi == 8:
+        return hi_vals.astype(jnp.int32)
+
+    def unplane(p, w):
+        cpb = 8 // w
+        pi = p.astype(jnp.int32) & 0xFF
+        return jnp.concatenate(
+            [(pi >> (s * w)) & ((1 << w) - 1) for s in range(cpb)],
+            axis=0)
+
+    c = unplane(hi_vals, hi)
+    if lo:
+        c = c | (unplane(lo_vals, lo) << hi)
+    return c
 
 
 def _kernel(
     layer, qsl, ctx, tile_first_seq, block_tables,
     q_blk, *refs,
     bq: int, bs: int, g: int, d: int, scale: float, kg: int,
-    k_signed: bool, k_planes: tuple, v_planes: tuple, v_levels: tuple,
+    k_signed: bool, k_bits: int, v_bits: int, v_levels: tuple,
     sliding_window: Optional[int],
     logit_softcap: Optional[float], has_sinks: bool,
 ):
-    has_klo = k_planes[1] > 0
-    has_vlo = v_planes[1] > 0
+    has_klo = tq.plane_split(k_bits)[1] > 0
+    has_vlo = tq.plane_split(v_bits)[1] > 0
     n_arr = 5 + int(has_klo) + int(has_vlo)
     hbm = refs[:n_arr]
     hmat_vmem = refs[n_arr]
@@ -86,6 +102,8 @@ def _kernel(
     i_vc = i_kz + 1
     i_vlo = i_vc + 1 if has_vlo else -1
     i_vs = n_arr - 1
+    scale_kind = {i_ks, i_kz, i_vs}       # [rows, tokens] lane layout
+    ng = d // kg                          # scale groups per head dim
 
     h = pl.program_id(0)
     ti = pl.program_id(1)
@@ -108,10 +126,12 @@ def _kernel(
         for ci in range(c):
             blk_idx = jnp.minimum(tile * c + ci, mb - 1)
             blk = block_tables[seq, blk_idx]
-            sl = pl.ds(ci * bs, bs)
             for j in range(n_arr):
-                dst = (bufs[j].at[slot, :, sl] if j == i_vs
-                       else bufs[j].at[slot, sl, :])
+                if j in scale_kind:
+                    dst = bufs[j].at[slot, :, pl.ds(ci * bs, bs)]
+                else:
+                    rj = hbm[j].shape[3]
+                    dst = bufs[j].at[slot, pl.ds(ci * rj, rj), :]
                 cps.append(pltpu.make_async_copy(
                     hbm[j].at[li, h, blk], dst,
                     sems.at[slot, n_arr * ci + j]))
@@ -125,15 +145,17 @@ def _kernel(
         for cp in tile_copies(seq, tile, slot):
             cp.wait()
 
-    def expand_groups(s32):
-        """[KV_TILE, d//kg] -> [KV_TILE, d] via one-hot matmul."""
-        ng = d // kg
-        col = jax.lax.broadcasted_iota(jnp.int32, (ng, d), 1) // kg
-        row = jax.lax.broadcasted_iota(jnp.int32, (ng, d), 0)
-        e = (col == row).astype(jnp.float32)
-        return jax.lax.dot_general(
-            s32, e, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    def unpack_tile(hi_buf, lo_buf, bits):
+        """Loaded plane buffers -> [KV_TILE, D] int32 codes."""
+        hi_rows = hi_buf.shape[0] // c
+        lo_rows = lo_buf.shape[0] // c if lo_buf is not None else 0
+        chunks = []
+        for ci in range(c):
+            hv = hi_buf[ci * hi_rows:(ci + 1) * hi_rows]
+            lv = (lo_buf[ci * lo_rows:(ci + 1) * lo_rows]
+                  if lo_buf is not None else None)
+            chunks.append(_unpack_chunk(hv, lv, bits, bs))
+        return chunks[0] if c == 1 else jnp.concatenate(chunks, axis=0)
 
     def process_seq(seq):
         q_lo = jnp.maximum(qsl[seq], row0) - row0
@@ -159,33 +181,22 @@ def _kernel(
                 start_kv(seq, t + 1, 1 - slot)
             wait_kv(seq, t, slot)
 
-            # --- K unpack + dequant: codes * scale + zero ---
-            if k_planes[0] == 8:
-                kc32 = bufs[i_kc][slot].astype(jnp.int32)
-                if not k_signed:
-                    kc32 = kc32 & 0xFF
-            else:
-                kc32 = _unpack_tile(bufs[i_kc][slot], k_planes[0])
-                if has_klo:
-                    kc32 = kc32 | (
-                        _unpack_tile(bufs[i_klo][slot], 1) << k_planes[0])
-            ks = expand_groups(bufs[i_ks][slot].astype(jnp.float32))
-            kz = expand_groups(bufs[i_kz][slot].astype(jnp.float32))
-            if k_signed:
-                kt = (kc32.astype(jnp.float32) * ks).astype(jnp.bfloat16)
-            else:
-                kt = (kc32.astype(jnp.float32) * ks + kz
-                      ).astype(jnp.bfloat16)
+            # --- K: unpack planes; scales stay [rows, tokens] ---
+            kc32 = unpack_tile(
+                bufs[i_kc][slot],
+                bufs[i_klo][slot] if has_klo else None, k_bits)
+            if k_bits == 8 and not k_signed:
+                kc32 = kc32 & 0xFF
+            # codes are integers < 256: bf16-exact, MXU-friendly
+            kcf = kc32.astype(jnp.bfloat16)               # [KV_TILE, d]
+            ks_f = bufs[i_ks][slot].astype(jnp.float32)   # [ng, KV_TILE]
+            kz_f = bufs[i_kz][slot].astype(jnp.float32)
 
-            # --- V unpack + centroid lookup (stays in rotated space) ---
-            if v_planes[0] == 8:
-                vc32 = bufs[i_vc][slot].astype(jnp.int32) \
-                    & (len(v_levels) - 1)
-            else:
-                vc32 = _unpack_tile(bufs[i_vc][slot], v_planes[0])
-                if has_vlo:
-                    vc32 = vc32 | (
-                        _unpack_tile(bufs[i_vlo][slot], 1) << v_planes[0])
+            # --- V: unpack + centroid lookup (rotated space) ---
+            vc32 = unpack_tile(
+                bufs[i_vc][slot],
+                bufs[i_vlo][slot] if has_vlo else None, v_bits)
+            vc32 = vc32 & (len(v_levels) - 1)
             vt = jnp.zeros(vc32.shape, jnp.float32)
             for idx, lv in enumerate(v_levels):
                 vt = jnp.where(vc32 == idx, lv, vt)
@@ -199,9 +210,28 @@ def _kernel(
                 mask &= kv_pos > row_pos - sliding_window
 
             for gi in range(g):
-                s = jax.lax.dot_general(
-                    q_blk[0, gi], kt, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                q_g = q_blk[0, gi]                        # [bq, d] bf16
+                # group-split dots: per scale-group partial q.codes dot,
+                # scaled by that group's per-token scale row
+                s = jnp.zeros((bq, KV_TILE), jnp.float32)
+                for sg in range(ng):
+                    sl = slice(sg * kg, (sg + 1) * kg)
+                    part = jax.lax.dot_general(
+                        q_g[:, sl], kcf[:, sl],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s + part * ks_f[sg:sg + 1, :]
+                if not k_signed:
+                    # zero term: zero_g * (sum of q's group-g lanes)
+                    qsum = jnp.concatenate(
+                        [jnp.sum(q_g[:, sg * kg:(sg + 1) * kg]
+                                 .astype(jnp.float32),
+                                 axis=-1, keepdims=True)
+                         for sg in range(ng)], axis=-1)   # [bq, ng]
+                    s = s + jax.lax.dot_general(
+                        qsum, kz_f, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                s = s * scale
                 if logit_softcap:
                     s = jnp.tanh(s / logit_softcap) * logit_softcap
                 s = jnp.where(mask, s, NEG_INF)
@@ -271,32 +301,30 @@ def _tq_attention_call(
     has_sinks, interpret,
 ):
     kvh, g, t2, d = q_t.shape
-    nb, bs = pools[0].shape[2], pools[0].shape[3]
+    bs = pools[-1].shape[-1]              # v_scale lanes = block_size
     assert KV_TILE % bs == 0
     n_tiles = t2 // bq
     c = KV_TILE // bs
     kg = tq.K_BLOCK
 
     k_signed, k_bits = tq._K_PARAMS[codec_k]
-    k_planes = tq.plane_split(k_bits)
-    v_planes = tq.plane_split(tq._V_BITS[codec_v])
-    v_levels = tuple(float(x) for x in tq._lloyd_codebook(
-        tq._V_BITS[codec_v]))
+    v_bits = tq._V_BITS[codec_v]
+    v_levels = tuple(float(x) for x in tq._lloyd_codebook(v_bits))
     n_arr = len(pools)
-    i_vs = n_arr - 1
+    i_ks = 1 + int(tq.plane_split(k_bits)[1] > 0)
+    scale_kind = {i_ks, i_ks + 1, n_arr - 1}
 
     kernel = functools.partial(
         _kernel, bq=bq, bs=bs, g=g, d=d, scale=scale, kg=kg,
-        k_signed=k_signed, k_planes=k_planes, v_planes=v_planes,
-        v_levels=v_levels,
+        k_signed=k_signed, k_bits=k_bits, v_bits=v_bits, v_levels=v_levels,
         sliding_window=sliding_window, logit_softcap=logit_softcap,
         has_sinks=has_sinks)
 
-    # double-buffered per-array staging: vs transposes ([2, 1, KV_TILE]);
-    # everything else stages rows [2, KV_TILE, last]
+    # double-buffered per-pool staging: code planes stack c blocks on
+    # sublanes [2, c*rows, D]; scale pools stack on lanes [2, rows, T]
     scratch = [
-        pltpu.VMEM((2, 1, KV_TILE) if j == i_vs
-                   else (2, KV_TILE, p.shape[-1]), p.dtype)
+        pltpu.VMEM((2, p.shape[3], KV_TILE) if j in scale_kind
+                   else (2, c * p.shape[3], d), p.dtype)
         for j, p in enumerate(pools)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -355,15 +383,9 @@ def tq_paged_attention(
                  else jnp.zeros((1, qh), jnp.float32))
     hmat = jnp.asarray(_hadamard_signs_matrix(d))
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
-    # v_scale pool [L, KH, NB, bs, 1] viewed with a leading singleton so
-    # the per-block DMA slice is 2D ([1, bs]); the trailing singleton is
-    # the write-kernel row layout (quant_kv_cache.py)
-    l, kh, nb, bs = cache.v_scale.shape[:4]
-    vs = cache.v_scale.reshape(l, kh, nb, 1, bs)
-    pools = cache._pools()[:-1] + (vs,)    # same order, vs transposed
 
     out_t = _tq_attention_call(
-        q_t.astype(jnp.bfloat16), pools, hmat, sinks_arr,
+        q_t.astype(jnp.bfloat16), cache._pools(), hmat, sinks_arr,
         layer, md.query_start_loc, md.context_lens, md.tile_first_seq,
         md.block_tables,
         scale=float(scale), sliding_window=sliding_window,

@@ -141,6 +141,61 @@ def unpack_codes(hi_arr: jax.Array, lo_arr, bits: int) -> jax.Array:
     return c
 
 
+def pack_block(codes: jax.Array, bits: int
+               ) -> tuple[jax.Array, "jax.Array | None"]:
+    """Block-payload packing ALONG THE TOKEN AXIS (second-minor).
+
+    codes [..., bs, D] -> (hi [..., bs*hi/8, D] int8, lo [..., bs/8, D]
+    int8 | None).  Row ``r`` of a w-bit plane holds tokens
+    ``{r, r+n, .., r+(8/w-1)n}`` (n = bs*w/8) at bit offsets s*w — so the
+    in-kernel unpack is 8/w static shifts + ONE SUBLANE CONCAT, and every
+    plane keeps D full lanes (the 128-lane DMA alignment real-TPU Mosaic
+    demands; see docs/quantization.md "Kernel status")."""
+    hi, lo = plane_split(bits)
+    if hi == 8:
+        return codes.astype(jnp.int8), None
+    c = codes.astype(jnp.int32) & ((1 << bits) - 1)
+    bs = c.shape[-2]
+
+    def plane(vals, w):
+        cpb = 8 // w
+        n = bs // cpb
+        out = jnp.zeros(c.shape[:-2] + (n, c.shape[-1]), jnp.int32)
+        for s in range(cpb):
+            out = out | (vals[..., s * n:(s + 1) * n, :] << (s * w))
+        return out.astype(jnp.int8)
+
+    hi_arr = plane(c & ((1 << hi) - 1), hi)
+    lo_arr = plane(c >> hi, lo) if lo else None
+    return hi_arr, lo_arr
+
+
+def unpack_block(hi_arr: jax.Array, lo_arr, bits: int) -> jax.Array:
+    """Inverse of pack_block -> [..., bs, D] int32 codes in [0, 2^bits)
+    (8-bit: raw int32 widening, caller handles signedness)."""
+    hi, lo = plane_split(bits)
+    if hi == 8:
+        return hi_arr.astype(jnp.int32)
+
+    def unplane(p, w):
+        cpb = 8 // w
+        pi = p.astype(jnp.int32) & 0xFF
+        return jnp.concatenate(
+            [(pi >> (s * w)) & ((1 << w) - 1) for s in range(cpb)],
+            axis=-2)
+
+    c = unplane(hi_arr, hi)
+    if lo:
+        c = c | (unplane(lo_arr, lo) << hi)
+    return c
+
+
+def block_plane_rows(bs: int, bits: int) -> tuple[int, int]:
+    """Rows (hi_plane, lo_plane) of a bs-token block payload."""
+    hi, lo = plane_split(bits)
+    return bs * hi // 8, bs * lo // 8
+
+
 def _round_bf16(x: jax.Array) -> jax.Array:
     """Round to the bf16 grid (pool storage dtype) but keep f32 compute."""
     return x.astype(jnp.bfloat16).astype(jnp.float32)
@@ -264,5 +319,5 @@ def compression_ratio(codec_k: str, codec_v: str, head_dim: int) -> float:
     k_hi, k_lo = packed_widths(head_dim, kb)
     v_hi, v_lo = packed_widths(head_dim, vb)
     k_bytes = k_hi + k_lo + head_dim // K_BLOCK * 2 * 2   # + bf16 scale+zero
-    v_bytes = v_hi + v_lo + 2                             # + bf16 scale
+    v_bytes = v_hi + v_lo + 2 * 2        # + bf16 scale (and its tile-pad row)
     return base / (k_bytes + v_bytes)
