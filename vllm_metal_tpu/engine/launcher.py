@@ -134,7 +134,13 @@ def build_engine(model_path: str,
     if num_blocks is None:
         # weights are on device now; measure what's left
         jax.block_until_ready(jax.tree.leaves(weights)[0])
-        tmp = PagedKVCache.allocate(mcfg, cfg.cache, 1)
+        if kv_quant_k:
+            # packed pools are 2.6-5.2x smaller per block: plan with the
+            # REAL footprint so compression buys more cached context
+            from ..attention.quant_kv_cache import QuantPagedKVCache
+            tmp = QuantPagedKVCache.allocate(mcfg, cfg.cache, 1)
+        else:
+            tmp = PagedKVCache.allocate(mcfg, cfg.cache, 1)
         fraction = memory_fraction if memory_fraction is not None \
             else envs.MEMORY_FRACTION
         num_blocks = plan_num_blocks(tmp.bytes_per_block(), fraction)
