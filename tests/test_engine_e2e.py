@@ -154,3 +154,20 @@ def test_decode_window_sampled_matches_per_step():
     for k in base:
         assert base[k].token_ids == win[k].token_ids, k
     assert eng.num_window_steps > 0
+
+
+def test_compile_bucket_lru_eviction(monkeypatch):
+    """VLLM_METAL_TPU_MAX_COMPILE_BUCKETS bounds the window-program set."""
+    monkeypatch.setenv("VLLM_METAL_TPU_MAX_COMPILE_BUCKETS", "2")
+    eng = make_engine()
+    r = eng.runner
+    for s_pad in (8, 16, 32):
+        r._window_fn(2, s_pad)
+    assert len(r._compiled) == 2
+    # (8,) was evicted; (16,) and (32,) survive, most-recent last
+    keys = list(r._compiled)
+    assert ("window", 2, 8, False) not in keys
+    # re-request of a live key refreshes recency instead of recompiling
+    fn = r._window_fn(2, 16)
+    assert list(r._compiled)[-1] == ("window", 2, 16, False)
+    assert fn is r._compiled[("window", 2, 16, False)]

@@ -44,9 +44,9 @@ def probe(ctx: int, qh: int, kvh: int, d: int = 128, bs: int = 64,
         block_tables=[list(range(1, 1 + nblk))], block_size=bs,
         token_pad=8, seq_pad=4, max_blocks_per_seq=nblk + 1)
     rng = np.random.default_rng(0)
+    # pool layout [L, NB, 2, KH, bs, D] (kv_cache.py:29)
     kv = jnp.asarray(rng.standard_normal(
-        (1, kvh, 2, nblk + 2, bs, d)), jnp.float32).astype(jnp.bfloat16)
-    # kernel layout [L, KH, 2, NB, bs, D]
+        (1, nblk + 2, 2, kvh, bs, d)), jnp.float32).astype(jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((8, qh, d)),
                     jnp.float32).astype(jnp.bfloat16)
 

@@ -196,7 +196,6 @@ class SpecConfig:
     ngram_min: int = 1
     ngram_max: int = 4
     draft_model: str = ""
-    verify_window: bool = field(default_factory=lambda: envs.SPEC_VERIFY_WINDOW)
 
     def __post_init__(self) -> None:
         if self.method and self.method not in ("ngram", "draft_model", "mtp"):

@@ -167,7 +167,10 @@ class ModelRunner:
         # VL models take the mm step variant (M-RoPE positions + splice)
         self._is_mm = getattr(model, "mrope_sections", None) is not None
         self.step_counter = 0
-        self._compiled: dict[tuple[int, int], Any] = {}
+        from collections import OrderedDict
+        # LRU of compiled window programs (each pins an XLA executable);
+        # capacity = VLLM_METAL_TPU_MAX_COMPILE_BUCKETS
+        self._compiled: "OrderedDict[tuple, Any]" = OrderedDict()
 
     # ------------------------------------------------------------------
     def _token_bucket(self, n: int) -> int:
@@ -298,6 +301,7 @@ class ModelRunner:
             s_pad = self.cfg.scheduler.max_num_seqs
         key = ("window", n_steps, s_pad, sampled)
         if key in self._compiled:
+            self._compiled.move_to_end(key)
             return self._compiled[key]
         bs = self.cfg.cache.block_size
         model = self.model
@@ -394,6 +398,12 @@ class ModelRunner:
         window = functools.partial(jax.jit, donate_argnums=(1,))(window)
 
         self._compiled[key] = window
+        from .. import envs
+        while len(self._compiled) > max(1, envs.MAX_COMPILE_BUCKETS):
+            old_key, fn = self._compiled.popitem(last=False)
+            logger.info("evicting compiled window program %s "
+                        "(MAX_COMPILE_BUCKETS=%d)", old_key,
+                        envs.MAX_COMPILE_BUCKETS)
         return window
 
     def execute_decode_window(

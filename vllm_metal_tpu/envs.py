@@ -21,9 +21,12 @@ def _bool(v: str) -> bool:
 # name -> (parser, default factory)
 _REGISTRY: dict[str, tuple[Callable[[str], Any], Callable[[], Any]]] = {
     # Fraction of per-chip HBM budgeted for model + KV cache.
+    # (There is deliberately no USE_PAGED_ATTENTION toggle: this engine
+    # is paged-only by design — XLA's static shapes favor one bucketed
+    # paged program over a second dense runtime; the dense path exists
+    # as the tests' oracle.  The reference's toggle guards its legacy
+    # contiguous-cache fallback, vllm_metal/v1/contiguous_cache.py.)
     "VLLM_METAL_TPU_MEMORY_FRACTION": (float, lambda: 0.9),
-    # Use the paged-attention runtime (0 falls back to dense contiguous cache).
-    "VLLM_METAL_TPU_USE_PAGED_ATTENTION": (_bool, lambda: True),
     # Force the pure-jnp reference attention path instead of Pallas kernels.
     "VLLM_METAL_TPU_FORCE_REFERENCE_ATTENTION": (_bool, lambda: False),
     # Run Pallas kernels in interpreter mode (CPU debugging).
@@ -32,14 +35,19 @@ _REGISTRY: dict[str, tuple[Callable[[str], Any], Callable[[], Any]]] = {
     "VLLM_METAL_TPU_KV_QUANT_K": (str, lambda: ""),
     # V codec: "" (off), "q3_0", "q2_0" (FWHT + Lloyd-Max widths).
     "VLLM_METAL_TPU_KV_QUANT_V": (str, lambda: ""),
-    # Speculative verify-window mode (merge K+1 verify rows into one segment).
-    "VLLM_METAL_TPU_SPEC_VERIFY_WINDOW": (_bool, lambda: False),
+    # (No SPEC_VERIFY_WINDOW toggle: verify rows ALWAYS pack as one
+    # varlen segment sharing tile KV loads — the reference's opt-in
+    # window mode, envs.py:69-79 there, is this engine's only layout.
+    # No SPLIT_KV either: the probe (tools/splitkv_probe.py, table in
+    # docs/kernels.md) shows batch-1 decode cost on v5e is FIXED
+    # overhead, with marginal KV streaming already at ~peak HBM rate —
+    # partitioning a sequential core's KV stream reorders work without
+    # creating parallelism.)
     # Deterministic test seed.
     "VLLM_METAL_TPU_TEST_SEED": (int, lambda: 0),
-    # Max number of token-count compile buckets kept alive.
+    # Max compiled step/window programs kept alive (LRU-evicted beyond
+    # this; each holds an XLA executable).
     "VLLM_METAL_TPU_MAX_COMPILE_BUCKETS": (int, lambda: 16),
-    # Split-KV decode: number of KV partitions (0 = auto occupancy gate).
-    "VLLM_METAL_TPU_SPLIT_KV": (int, lambda: 0),
     # W4A8 decode matmuls: quantize activations to int8 per token so the
     # group-dot kernel runs s8 x s8 on the MXU (measured 1.6x decode
     # matmul bandwidth at 8B on v5e; ~1% relative activation-quant error
