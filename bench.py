@@ -211,45 +211,72 @@ def bench_decode(runner, cfg, batch: int, ctx: int, steps: int):
 
 def bench_serving(runner, cfg, num_blocks: int, conc: int = 16,
                   prompt_len: int = 128, max_tokens: int = 96,
-                  mixed: bool = False):
+                  mixed: bool = False, arrival_rate: float = 0.0,
+                  total: int = 0, eng=None):
     """Through-the-engine serving benchmark (LLMEngine.step loop).
 
     Measures what BASELINE.md's north star 4 actually asks for: tokens/s
     through scheduler + engine bookkeeping + dispatch (not the bare fused
     window), plus p50/p99 TTFT.  ``mixed`` samples half the requests at
     temperature 0.8 — the sampled window program keeps multi-step
-    scheduling for those, so this is the honest mixed-traffic number."""
+    scheduling for those.  ``arrival_rate`` > 0 switches from
+    burst-submit to POISSON arrivals at that rate (req/s, ``total``
+    requests) — prefills then land mid-decode, exercising the bounded
+    decode windows + admission path instead of the flattering all-decode
+    phase.  Returns the engine so callers can reuse warmed programs."""
     from vllm_metal_tpu.engine.engine import LLMEngine
     from vllm_metal_tpu.engine.sampling_params import SamplingParams
 
-    eng = LLMEngine(None, None, cfg, num_blocks=num_blocks, runner=runner)
-    eng.cfg.scheduler.decode_window = int(
-        os.environ.get("BENCH_WINDOW", "16"))
+    if eng is None:
+        eng = LLMEngine(None, None, cfg, num_blocks=num_blocks,
+                        runner=runner)
+        eng.cfg.scheduler.decode_window = int(
+            os.environ.get("BENCH_WINDOW", "16"))
     rng = np.random.default_rng(0)
 
-    # warm the serving programs off-clock with the SAME traffic shape:
-    # the batched prefill bucket plus the full pow2 window ladder
-    # (16, 8, 4, 2, 1) for both the greedy and sampled programs
-    warm = []
-    for i in range(conc):
-        temp = 0.8 if (mixed and i % 2) else 0.0
-        warm.append(eng.add_request(
-            [7] * prompt_len,
-            SamplingParams(temperature=temp,
-                           max_tokens=2 * eng.cfg.scheduler.decode_window)))
-    while eng.has_unfinished():
-        eng.step()
+    # warm the serving programs off-clock with the SAME traffic shapes:
+    # the prefill bucket plus the pow2 window ladder for both the full
+    # batch and the partial-batch seq buckets arrivals produce
+    warm_concs = [conc] if not arrival_rate else [conc, max(2, conc // 4)]
+    for wc in warm_concs:
+        for i in range(wc):
+            temp = 0.8 if (mixed and i % 2) else 0.0
+            eng.add_request(
+                [7] * prompt_len,
+                SamplingParams(
+                    temperature=temp,
+                    max_tokens=2 * eng.cfg.scheduler.decode_window))
+        while eng.has_unfinished():
+            eng.step()
+    if arrival_rate:
+        # staggered warm: inject requests every few steps so the
+        # mixed prefill+decode token buckets, partial-batch windows and
+        # bounded-window programs all compile off-clock
+        w = 2 * eng.cfg.scheduler.decode_window
+        pending = list(range(conc))
+        step_i = 0
+        while pending or eng.has_unfinished():
+            if pending and step_i % 2 == 0:
+                i = pending.pop()
+                eng.add_request([7] * prompt_len, SamplingParams(
+                    temperature=0.8 if (mixed and i % 2) else 0.0,
+                    max_tokens=w))
+            eng.step()
+            step_i += 1
     eng.num_window_steps = eng.num_single_steps = 0
 
-    def one_round():
-        submit = {}
-        ttft = {}
+    def params_for(i):
+        temp = 0.8 if (mixed and i % 2) else 0.0
+        return SamplingParams(temperature=temp, max_tokens=max_tokens)
+
+    def prompt():
+        return [int(x) for x in rng.integers(5, 1000, prompt_len)]
+
+    def one_round_burst():
+        submit, ttft = {}, {}
         t0 = time.perf_counter()
         for i in range(conc):
-            temp = 0.8 if (mixed and i % 2) else 0.0
-            rid = eng.add_request(
-                [int(x) for x in rng.integers(5, 1000, prompt_len)],
-                SamplingParams(temperature=temp, max_tokens=max_tokens))
+            rid = eng.add_request(prompt(), params_for(i))
             submit[rid] = time.perf_counter()
         generated = 0
         while eng.has_unfinished():
@@ -260,22 +287,71 @@ def bench_serving(runner, cfg, num_blocks: int, conc: int = 16,
                     ttft[out.request_id] = time.perf_counter() \
                         - submit[out.request_id]
                 generated += len(out.new_token_ids)
-        dt = time.perf_counter() - t0
+        return generated / (time.perf_counter() - t0), ttft
+
+    def one_round_poisson():
+        # per-round fixed seed: every round replays the SAME arrival
+        # pattern, so the throwaway warm round covers exactly the
+        # program variants the measured rounds execute
+        rng = np.random.default_rng(42)
+        n = total or 2 * conc
+        gaps = rng.exponential(1.0 / arrival_rate, n)
+        t0 = time.perf_counter()
+        due = np.cumsum(gaps) + t0
+        submit, ttft = {}, {}
+        nxt = 0
+        generated = 0
+        while nxt < n or eng.has_unfinished():
+            now = time.perf_counter()
+            while nxt < n and due[nxt] <= now:
+                rid = eng.add_request(prompt(), params_for(nxt))
+                submit[rid] = due[nxt]
+                nxt += 1
+            if not eng.has_unfinished():
+                if nxt < n:
+                    time.sleep(max(0.0, due[nxt] - time.perf_counter()))
+                continue
+            for out in eng.step():
+                if out.request_id in submit \
+                        and out.request_id not in ttft \
+                        and out.new_token_ids:
+                    ttft[out.request_id] = time.perf_counter() \
+                        - submit[out.request_id]
+                generated += len(out.new_token_ids)
+        return generated / (time.perf_counter() - t0), ttft
+
+    def pcts(ttft):
         lat = sorted(ttft.values())
         p50 = lat[len(lat) // 2] if lat else float("nan")
         p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))] \
             if lat else float("nan")
-        return generated / dt, p50, p99
+        return p50, p99
 
-    # best of 2 rounds (tunnel dispatch latency fluctuates run-to-run)
-    rounds = [one_round() for _ in range(2)]
-    tok_s, p50, p99 = max(rounds, key=lambda r: r[0])
+    one_round = one_round_poisson if arrival_rate else one_round_burst
+    # best of 2 measured rounds (tunnel dispatch latency fluctuates).
+    # Arrival mode runs one EXTRA throwaway round first: queue-depth
+    # transients touch program variants (s_pad buckets, window ladder
+    # under drain) whose first per-process use pays seconds of
+    # compile-cache DESERIALIZATION even on a persistent-cache hit —
+    # round 0 absorbs those loads the way a long-running server does.
+    rounds = []
+    n_rounds = 3 if arrival_rate else 2
+    for ri in range(n_rounds):
+        t0 = time.perf_counter()
+        rounds.append(one_round())
+        log(f"  round {ri}: {rounds[-1][0]:.1f} tok/s "
+            f"({time.perf_counter() - t0:.1f}s)")
+    if arrival_rate:
+        rounds = rounds[1:]
+    tok_s, ttft = max(rounds, key=lambda r: r[0])
+    p50, p99 = pcts(ttft)
     return {
         "tok_s": tok_s,
         "ttft_p50_ms": p50 * 1e3,
         "ttft_p99_ms": p99 * 1e3,
         "window_steps": eng.num_window_steps,
         "single_steps": eng.num_single_steps,
+        "engine": eng,
     }
 
 
@@ -326,6 +402,9 @@ def main():
     mc = cfg.model
     bs = cfg.cache.block_size
     blocks_needed = args.batch * -(-(args.ctx + 2 * args.steps + 18) // bs) + 2
+    if on_tpu and os.environ.get("BENCH_8K", "1") == "1":
+        # the long-context serving round keeps 4 x ~7.6K-token sequences
+        blocks_needed = max(blocks_needed, 4 * -(-7700 // bs) + 32)
     blocks_needed = -(-blocks_needed // 128) * 128  # stable compile shapes
     # fuse + stack with rebinding so each intermediate tree frees before
     # the next allocates (originals + fused + stacked all live at once
@@ -359,6 +438,7 @@ def main():
         f"({step_bytes / 1e9:.2f} GB/step)")
 
     serving = {}
+    sv = {}
     if os.environ.get("BENCH_SERVING", "1") == "1":
         try:
             sv = bench_serving(runner, cfg, blocks_needed, conc=16,
@@ -368,9 +448,45 @@ def main():
                        "ttft_p99_ms": round(sv["ttft_p99_ms"], 1),
                        "window_steps": sv["window_steps"],
                        "single_steps": sv["single_steps"]}
-            log(f"serving (conc=16 mixed): {serving}")
+            log(f"serving (conc=16 mixed burst): {serving}")
         except Exception as e:
             log(f"serving bench failed: {e}")
+        # Poisson arrivals at ~70% of the burst-sustained request rate:
+        # prefills land mid-decode, so this measures the bounded-window
+        # + admission path, not the flattering all-decode phase
+        try:
+            rate = max(0.5, 0.7 * serving.get("serve_tok_s", 500) / 96)
+            sv = bench_serving(runner, cfg, blocks_needed, conc=16,
+                               mixed=True, arrival_rate=rate, total=32,
+                               eng=sv.get("engine"))
+            serving.update({
+                "pois_tok_s": round(sv["tok_s"], 1),
+                "pois_rate_req_s": round(rate, 2),
+                "pois_ttft_p50_ms": round(sv["ttft_p50_ms"], 1),
+                "pois_ttft_p99_ms": round(sv["ttft_p99_ms"], 1),
+                "pois_window_steps": sv["window_steps"],
+                "pois_single_steps": sv["single_steps"]})
+            log(f"serving (poisson {rate:.2f} req/s): "
+                f"{sv['tok_s']:.1f} tok/s, ttft p50 "
+                f"{sv['ttft_p50_ms']:.0f} ms p99 {sv['ttft_p99_ms']:.0f}")
+        except Exception as e:
+            log(f"poisson serving bench failed: {e}")
+        # long-context serving: 7.5K-token prompts, conc 4 (BASELINE
+        # config 2's long-context behavior — where the reference's
+        # split-KV earned its win)
+        if os.environ.get("BENCH_8K", "1") == "1" and on_tpu:
+            try:
+                sv = bench_serving(runner, cfg, blocks_needed, conc=4,
+                                   prompt_len=7552, max_tokens=48)
+                serving.update({
+                    "serve8k_tok_s": round(sv["tok_s"], 1),
+                    "ttft8k_p50_ms": round(sv["ttft_p50_ms"], 1),
+                    "ttft8k_p99_ms": round(sv["ttft_p99_ms"], 1)})
+                log(f"serving (8K ctx, conc=4): {sv['tok_s']:.1f} tok/s, "
+                    f"ttft p50 {sv['ttft_p50_ms']:.0f} ms "
+                    f"p99 {sv['ttft_p99_ms']:.0f} ms")
+            except Exception as e:
+                log(f"8K serving bench failed: {e}")
 
     print(json.dumps({
         "metric": f"{preset}_q4_decode_b{args.batch}_ctx{args.ctx}",

@@ -171,3 +171,56 @@ def test_compile_bucket_lru_eviction(monkeypatch):
     fn = r._window_fn(2, 16)
     assert list(r._compiled)[-1] == ("window", 2, 16, False)
     assert fn is r._compiled[("window", 2, 16, False)]
+
+
+def test_window_engages_with_waiting_queue():
+    """Continuous arrivals must not disable multi-step windows: with a
+    waiting queue the window is BOUNDED (<=4), not dropped to 1, and
+    outputs stay token-exact vs the per-step engine."""
+    import dataclasses
+    rng = np.random.default_rng(21)
+    prompts = [[int(x) for x in rng.integers(1, 127, n)]
+               for n in (6, 9, 13)]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    base = make_engine(max_seqs=2).generate(prompts, sp)
+
+    eng = make_engine(max_seqs=2)   # seq 3 must wait for a slot
+    eng.cfg = dataclasses.replace(
+        eng.cfg, scheduler=dataclasses.replace(eng.cfg.scheduler,
+                                               decode_window=8))
+    win = eng.generate(prompts, sp)
+    for k in base:
+        assert base[k].token_ids == win[k].token_ids, k
+    assert eng.num_window_steps > 0
+
+
+def test_window_coexists_with_ngram_proposer():
+    """An installed proposer gates windows per-batch (only actual drafts
+    force single steps), so spec-enabled engines keep multi-step decode
+    on draft-free traffic."""
+    import dataclasses
+    from vllm_metal_tpu.config import SpecConfig
+    rng = np.random.default_rng(23)
+    prompts = [[int(x) for x in rng.integers(1, 127, 8)] for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    base = make_engine().generate(prompts, sp)
+
+    from vllm_metal_tpu.config import CacheConfig, EngineConfig, \
+        SchedulerConfig
+    from vllm_metal_tpu.engine.engine import LLMEngine
+    cfg = EngineConfig(
+        model=CFG, cache=CacheConfig(block_size=16),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4, max_num_batched_tokens=64,
+            token_buckets=(16, 32, 64), decode_window=4),
+        spec=SpecConfig(method="ngram", num_speculative_tokens=3,
+                        ngram_min=1, ngram_max=4))
+    model = LlamaModel(CFG)
+    weights = model.init_random(jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = LLMEngine(model, weights, cfg, num_blocks=32, use_pallas=False)
+    win = eng.generate(prompts, sp)
+    for k in base:
+        assert base[k].token_ids == win[k].token_ids, k
+    # spec proposals and windows both ran (drafts when the ngram hits,
+    # windows when it doesn't)
+    assert eng.num_window_steps > 0

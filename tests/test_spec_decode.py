@@ -167,3 +167,73 @@ def test_mtp_spec_decode_runs_and_matches_greedy():
     assert list(plain.values())[0].token_ids == \
         list(spec.values())[0].token_ids
     assert eng.num_proposed_drafts > 0
+
+
+def test_draft_model_batch_is_one_call_per_position():
+    """B decode-ready requests draft in K runner steps total, not B*K
+    (the r3 host-loop shape)."""
+    from vllm_metal_tpu.config import SpecConfig
+    import dataclasses
+
+    prompts = [[3, 9, 27, 33, 9, 27], [5, 11, 5, 11, 5, 11],
+               [2, 4, 8, 16, 8, 4]]
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    plain = make_engine(spec=False, seed=6).generate(prompts, sp)
+
+    eng = make_engine(spec=False, seed=6)
+    eng.cfg = dataclasses.replace(
+        eng.cfg, spec=SpecConfig(method="draft_model",
+                                 num_speculative_tokens=3))
+    eng.runner.spec_window = 3
+    if hasattr(eng.runner, "_step"):
+        del eng.runner._step
+    eng.set_draft_model(eng.runner.model, eng.runner.weights, num_blocks=32)
+
+    calls = []
+    real = eng.proposer.runner.execute
+
+    def counting(seqs, *a, **kw):
+        calls.append(len(seqs))
+        return real(seqs, *a, **kw)
+
+    eng.proposer.runner.execute = counting
+    spec = eng.generate(prompts, sp)
+    for k in plain:
+        assert plain[k].token_ids == spec[k].token_ids, k
+    # once all 3 requests are decode-ready, each propose round should
+    # run batched steps (some round must carry all 3 seqs at once)
+    assert max(calls) == 3
+    assert eng.num_accepted_drafts == eng.num_proposed_drafts > 0
+
+
+def test_mtp_batch_one_dispatch():
+    """MTP proposes for the whole decode-ready batch in one call."""
+    from vllm_metal_tpu.config import SpecConfig
+    from vllm_metal_tpu.spec.mtp import init_mtp_head
+    import dataclasses
+
+    prompts = [[3, 9, 27, 33, 9, 27, 3, 9], [7, 5, 3, 2, 7, 5, 3, 2]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    plain = make_engine(spec=False, seed=8).generate(prompts, sp)
+
+    eng = make_engine(spec=False, seed=8)
+    eng.cfg = dataclasses.replace(
+        eng.cfg, spec=SpecConfig(method="mtp", num_speculative_tokens=1))
+    eng.runner.spec_window = 1
+    if hasattr(eng.runner, "_step"):
+        del eng.runner._step
+    eng.set_mtp_head(init_mtp_head(CFG, jax.random.PRNGKey(42)))
+
+    batches = []
+    real = eng.proposer.propose_batch
+
+    def counting(reqs):
+        batches.append(len(reqs))
+        return real(reqs)
+
+    eng.proposer.propose_batch = counting
+    spec = eng.generate(prompts, sp)
+    for k in plain:
+        assert plain[k].token_ids == spec[k].token_ids, k
+    assert max(batches) == 2      # both requests drafted in one dispatch
+    assert eng.num_proposed_drafts > 0

@@ -37,7 +37,7 @@ def test_sampler_respects_bitmask():
     mask = np.stack([pack_bitmask([7], 64), pack_bitmask([3, 9], 64)])
     st = SamplingTensors.from_lists(
         [SamplingParams(temperature=0.0)] * 2, 2, token_bitmask=mask)
-    toks, _ = sample(logits, st, jnp.asarray(0))
+    toks, _, _, _ = sample(logits, st, jnp.asarray(0))
     assert int(toks[0]) == 7
     assert int(toks[1]) in (3, 9)
 

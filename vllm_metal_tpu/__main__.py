@@ -110,6 +110,21 @@ def main() -> None:
             lora_adapters=dict(kv.split("=", 1) for kv in args.lora)
             or None,
             max_loras=args.max_loras)
+        import jax
+        if jax.process_count() > 1:
+            # multi-host lockstep serving: every host built the same
+            # engine on its shards; process 0 serves HTTP and broadcasts
+            # the request stream, the rest replay it
+            # (docs/distributed.md "Multi-host")
+            from .parallel.multihost import RequestFeed, run_follower
+            feed = RequestFeed()
+            if jax.process_index() == 0:
+                serve(engine, tok, host=args.host, port=args.port,
+                      model_name=args.served_model_name or args.model,
+                      feed=feed)
+            else:
+                run_follower(engine, feed)
+            return
         serve(engine, tok, host=args.host, port=args.port,
               model_name=args.served_model_name or args.model)
 

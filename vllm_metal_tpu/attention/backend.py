@@ -140,10 +140,19 @@ class PagedAttentionBackend:
         return out[..., :d] if dp != d else out
 
     def make_attn_fn(self, cache: PagedKVCache, md: AttentionMetadata,
-                     sinks_per_layer: Optional[list] = None
+                     sinks_per_layer: Optional[list] = None,
+                     shared_md: Optional[AttentionMetadata] = None,
+                     shared_rows: Optional[jax.Array] = None
                      ) -> tuple[Callable, Callable[[], PagedKVCache]]:
-        """Returns (runtime for model.forward, getter for updated cache)."""
-        rt = StepRuntime(self, cache, md, sinks_per_layer)
+        """Returns (runtime for model.forward, getter for updated cache).
+
+        ``shared_md``/``shared_rows`` enable YOCO REDUCED-QUERY fast
+        prefill (reference ``attention/yoco.py:32``): the model slices
+        the hidden stream to one row per sequence at the KV-shared
+        boundary, and shared-layer attention runs on ``shared_md``
+        (decode-shaped: query_lens == 1)."""
+        rt = StepRuntime(self, cache, md, sinks_per_layer,
+                         shared_md=shared_md, shared_rows=shared_rows)
         return rt, rt.final_cache
 
 
@@ -157,10 +166,14 @@ class StepRuntime:
 
     def __init__(self, backend: PagedAttentionBackend, cache,
                  md: AttentionMetadata,
-                 sinks_per_layer: Optional[list] = None):
+                 sinks_per_layer: Optional[list] = None,
+                 shared_md: Optional[AttentionMetadata] = None,
+                 shared_rows: Optional[jax.Array] = None):
         self.backend = backend
         self.md = md
         self.sinks_per_layer = sinks_per_layer
+        self.shared_md = shared_md
+        self.shared_rows = shared_rows
         self._cell = [cache]
 
     def __call__(self, layer_idx, q, k, v):
@@ -174,9 +187,11 @@ class StepRuntime:
         return out
 
     def attend_shared(self, layer_idx: int, ref_layer: int, q):
-        """YOCO shared layer: read-only attention on the ref layer's KV."""
-        return self.backend.attend_read(layer_idx, ref_layer, q,
-                                        self._cell[0], self.md)
+        """YOCO shared layer: read-only attention on the ref layer's KV
+        (on the reduced-query metadata when fast prefill is active)."""
+        return self.backend.attend_read(
+            layer_idx, ref_layer, q, self._cell[0],
+            self.shared_md if self.shared_md is not None else self.md)
 
     def attend_mla(self, layer_idx, q_nope, q_rope, c_kv, k_rope, w_uk,
                    scale):

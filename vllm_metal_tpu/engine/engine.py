@@ -218,11 +218,17 @@ class LLMEngine:
 
     # ------------------------------------------------------------------
     def _propose_drafts(self) -> dict[str, int]:
-        """Ask the proposer for drafts for every decode-ready request."""
+        """Ask the proposer for drafts for every decode-ready request.
+
+        Proposers exposing ``propose_batch`` get ONE call covering the
+        whole decode-ready set (one jitted device dispatch for MTP /
+        one runner step per draft position for the draft model) instead
+        of a host loop with a device call per request."""
         counts: dict[str, int] = {}
         if self.proposer is None:
             return counts
         w = self.cfg.spec.num_speculative_tokens
+        ready = []
         for req in self.scheduler.running:
             if not req.params.greedy:
                 continue  # greedy-only, like the reference
@@ -230,19 +236,30 @@ class LLMEngine:
                 continue  # verify rows carry no logprobs; keep them exact
             if req.num_computed_tokens != req.num_tokens - 1:
                 continue  # still prefilling
-            from ..spec.mtp import MTPProposer
-            if isinstance(self.proposer, MTPProposer):
-                if req.last_hidden is None:
-                    continue
-                drafts = self.proposer.propose_from_state(
-                    req.all_token_ids, req.last_hidden,
-                    self.bm.get_block_table(req.request_id))[:w]
+            ready.append(req)
+        if not ready:
+            return counts
+        from ..spec.mtp import MTPProposer
+        if isinstance(self.proposer, MTPProposer):
+            reqs = [r for r in ready if r.last_hidden is not None]
+            if reqs:
+                results = self.proposer.propose_batch(
+                    [(r.request_id, r.all_token_ids, r.last_hidden,
+                      self.bm.get_block_table(r.request_id))
+                     for r in reqs])
             else:
-                drafts = self.proposer.propose(
-                    req.request_id, req.all_token_ids)[:w]
+                results = {}
+        elif hasattr(self.proposer, "propose_batch"):
+            results = self.proposer.propose_batch(
+                [(r.request_id, r.all_token_ids) for r in ready])
+        else:
+            results = {r.request_id: self.proposer.propose(
+                r.request_id, r.all_token_ids) for r in ready}
+        for rid, drafts in results.items():
+            drafts = drafts[:w]
             if drafts:
-                self._drafts[req.request_id] = drafts
-                counts[req.request_id] = len(drafts)
+                self._drafts[rid] = drafts
+                counts[rid] = len(drafts)
         return counts
 
     def _state_slot_for(self, req) -> tuple[int, bool]:
@@ -432,18 +449,28 @@ class LLMEngine:
 
     def _window_size(self, sched) -> int:
         """Multi-step decode eligibility: a full batch of decodes with no
-        drafts/grammar/active-LoRA and nothing waiting to be admitted.
-        Non-greedy sampling is fine — the window program runs the full
-        on-device sampler (penalty ring maintained on device); only
-        grammar (host FSM advance per token) forces per-step execution.
-        A merely *loaded* LoRA manager doesn't gate the window — only a
-        request in this batch that actually routes to an adapter does
-        (the window program has no lora seam)."""
+        drafts/grammar/active-LoRA.  Non-greedy sampling is fine — the
+        window program runs the full on-device sampler (penalty ring
+        maintained on device); only grammar (host FSM advance per token)
+        forces per-step execution.  A merely *loaded* LoRA manager
+        doesn't gate the window — only a request in this batch that
+        actually routes to an adapter does (the window program has no
+        lora seam).  An *installed* proposer doesn't gate it either —
+        only actual drafts in this batch do (per-request check below);
+        under continuous arrivals a waiting queue BOUNDS the window
+        (admission latency <= 4 decode steps) instead of disabling it,
+        so serving keeps the dispatch amortization mid-flight."""
         w = self.cfg.scheduler.decode_window
-        if w <= 1 or self.scheduler.waiting or self.proposer is not None:
+        if w <= 1:
             return 1
         if not sched.scheduled:
             return 1
+        if self.scheduler.waiting:
+            if len(sched.scheduled) < self.cfg.scheduler.max_num_seqs:
+                # an admission attempt could succeed next step: cap the
+                # dispatch so waiting requests aren't starved
+                w = min(w, 4)
+            # full batch: nothing could be admitted anyway; keep w
         for s in sched.scheduled:
             req = s.request
             if (s.num_new_tokens != 1 or s.num_draft_tokens

@@ -181,6 +181,16 @@ class ModelRunner:
             f"{n} tokens exceeds the largest bucket "
             f"{self.cfg.scheduler.token_buckets[-1]}")
 
+    def _yoco_fast_active(self) -> bool:
+        """YOCO reduced-query fast prefill applies when the model has
+        KV-shared trailing layers and nothing needs full-width trailing
+        rows (spec verify reads the last W+1 rows; LoRA routes per
+        token; mm keeps 3-axis positions per row)."""
+        return (getattr(self.model, "num_shared", 0) > 0
+                and self.spec_window == 0
+                and not self._is_mm
+                and self.lora_manager is None)
+
     def _step_fn(self):
         """The jitted device step (cached per runner).
 
@@ -193,6 +203,7 @@ class ModelRunner:
         spec_w = self.spec_window
         use_lora = self.lora_manager is not None
         is_mm = self._is_mm
+        yoco_fast = self._yoco_fast_active()
 
         def step(weights, cache: PagedKVCache, token_ids: jax.Array,
                  md: AttentionMetadata, st: SamplingTensors,
@@ -211,8 +222,20 @@ class ModelRunner:
                     and getattr(layers[0], "sinks", None) is not None:
                 sinks = [lw.sinks for lw in layers]
             # (stacked layers carry sinks inside the scan body instead)
+            shared_md = shared_rows = None
+            if yoco_fast:
+                # YOCO reduced-query fast prefill: shared trailing
+                # layers compute only each sequence's last row (padded
+                # to the shared metadata's token rows)
+                shared_md = extras[-1]
+                rows = jnp.clip(md.query_start_loc[1:] - 1, 0,
+                                token_ids.shape[0] - 1)
+                shared_rows = jnp.pad(
+                    rows, (0, shared_md.positions.shape[0]
+                           - rows.shape[0]))
             attn_fn, get_cache = self.backend.make_attn_fn(
-                cache, md, sinks_per_layer=sinks)
+                cache, md, sinks_per_layer=sinks,
+                shared_md=shared_md, shared_rows=shared_rows)
             lora_fn = None
             if use_lora:
                 from ..lora.layers import lora_delta
@@ -224,6 +247,17 @@ class ModelRunner:
                 weights, token_ids,
                 pos3 if pos3 is not None else md.positions, attn_fn,
                 lora_fn=lora_fn, mm_embeds=mm_embeds, mm_rows=mm_rows)
+            if yoco_fast:
+                # hidden is already one row per sequence (sliced at the
+                # KV-shared boundary); spec_w == 0 by the gate
+                hidden = hidden[:md.query_start_loc.shape[0] - 1]
+                logits = self.model.logits(weights, hidden)
+                ph = hidden.astype(jnp.float32)
+                pooled = ph / jnp.linalg.norm(ph, axis=-1, keepdims=True)
+                tokens, logprobs, topk_vals, topk_ids = sample(
+                    logits, st, step_idx)
+                return tokens, logprobs, topk_vals, topk_ids, logits, \
+                    None, pooled, hidden, get_cache()
             last = md.query_start_loc[1:] - 1          # [S]
             if spec_w:
                 # last (spec_w + 1) rows per seq for draft verification
@@ -260,7 +294,8 @@ class ModelRunner:
 
         w_specs = weight_pspecs(self.weights)
         c_specs = cache_pspecs(self.cache)
-        n_extra = (2 if use_lora else 0) + (3 if is_mm else 0)
+        n_extra = (2 if use_lora else 0) + (3 if is_mm else 0) \
+            + (1 if yoco_fast else 0)
         # P() prefixes broadcast over the md / sampling pytrees (replicated)
         sharded = shard_map(
             step, mesh=self.mesh,
@@ -619,6 +654,17 @@ class ModelRunner:
             extra = (self.lora_manager.packs, jnp.asarray(slots))
         if self._is_mm:
             extra = extra + self._mm_extras(seqs, t_pad)
+        if self._yoco_fast_active():
+            md_shared = build_metadata(
+                query_lens=[1] * len(seqs),
+                context_lens=[s.context_len for s in seqs],
+                block_tables=[s.block_table for s in seqs],
+                block_size=self.cfg.cache.block_size,
+                token_pad=max(8, s_pad), seq_pad=s_pad,
+                max_blocks_per_seq=self.max_blocks_per_seq,
+                state_slots=state_slots,
+                sliding_windows=self._windows)
+            extra = extra + (md_shared,)
         tokens, logprobs, tkv, tki, logits, verify, pooled, hrows, \
             self.cache = self._step(
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,

@@ -174,9 +174,17 @@ class GemmaModel(LlamaModel):
         x = self.embed(weights, token_ids)
         if mm_embeds is not None:
             x = self.splice_mm(x, mm_embeds, mm_rows)
+        shared_rows = getattr(attn_fn, "shared_rows", None)
         for i, lw in enumerate(weights.layers):
             lora = lora_fn(i) if lora_fn is not None else None
             if i >= nc:     # YOCO shared layer: read the ref layer's KV
+                if i == nc and shared_rows is not None:
+                    # reduced-query fast prefill (reference
+                    # attention/yoco.py:32): shared layers write no KV,
+                    # so only the rows that feed logits need computing —
+                    # slice the stream to one row per sequence
+                    x = x[shared_rows]
+                    positions = positions[shared_rows]
                 q = self.layer_q_only(lw, x, positions)
                 attn_out = attn_fn.attend_shared(
                     i, cfg.yoco_ref_layer(i), q)

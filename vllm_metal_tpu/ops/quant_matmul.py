@@ -529,8 +529,15 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         live = halves * gtile_b * tm * tn_ * 4    # in-flight group dots
         return xb + xt + gsum + wb + sb + outb + accb + live
 
+    # Observed model misses on v5e: tm=16 and tm=64 compile at cap
+    # 14.5 MB, but tm=32 (the 17..32-live-seq bucket) runs ~2.5 MB over
+    # the model at tn=4096 (16.91 MB actual vs 16 MB scoped limit,
+    # probed r4) — Mosaic's live-dot stack doesn't scale linearly in tm.
+    # A tighter cap there drops tn to 2048, which compiles with margin.
+    cap = 12_000_000 if tm == 32 else 14_500_000
+
     def final_tn(tn_):
-        while tn_ > 1024 and stack_bytes(tn_) > 14_500_000:
+        while tn_ > 1024 and stack_bytes(tn_) > cap:
             tn_ = max(1024, (tn_ // 2 + 127) // 128 * 128)
         return tn_
 

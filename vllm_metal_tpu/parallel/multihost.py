@@ -53,3 +53,110 @@ def init_multihost(coordinator_address: Optional[str] = None,
                         "process %d / %d",
                         jax.process_index(), jax.process_count())
     return jax.process_index() if jax.process_count() > 1 else 0
+
+
+class RequestFeed:
+    """Per-step request-event broadcast for multi-host LOCKSTEP serving.
+
+    The serving design (docs/distributed.md "Multi-host"): every host
+    runs an IDENTICAL, deterministic ``LLMEngine`` — same scheduler
+    decisions, same jitted step sequence on its addressable shards, and
+    the on-device sampler is computed replicated (bitwise identical
+    tokens on every chip), so the only state that must move between
+    hosts is the REQUEST STREAM.  Process 0 (the only HTTP server)
+    queues add/abort events; each engine-loop iteration every host calls
+    :meth:`exchange`, which broadcasts the queued events to all
+    processes.  The broadcast is also the lockstep barrier: followers
+    block in it until the primary reaches its next iteration.
+
+    Events are JSON (token ids + sampling params); grammar-constrained
+    requests are rejected at the API layer in multi-host mode (the FSM
+    object has no wire format yet).
+
+    ``transport`` is injectable for single-process tests; the default
+    broadcasts via ``jax.experimental.multihost_utils`` (two rounds:
+    int32 length, then the padded payload).
+    """
+
+    def __init__(self, transport=None):
+        self.transport = transport or self._jax_broadcast
+        self._queue: list[dict] = []
+
+    # -- primary side -------------------------------------------------
+    def queue_add(self, request_id: str, prompt_token_ids: list[int],
+                  params_dict: dict) -> None:
+        self._queue.append({"op": "add", "id": request_id,
+                            "prompt": list(map(int, prompt_token_ids)),
+                            "params": params_dict})
+
+    def queue_abort(self, request_id: str) -> None:
+        self._queue.append({"op": "abort", "id": request_id})
+
+    # -- every host, once per engine-loop iteration --------------------
+    def exchange(self) -> list[dict]:
+        import json
+        payload = json.dumps(self._queue).encode() if self._queue else b"[]"
+        self._queue = []
+        out = self.transport(payload)
+        return json.loads(out.decode())
+
+    @staticmethod
+    def _jax_broadcast(payload: bytes) -> bytes:
+        import numpy as np
+        from jax.experimental import multihost_utils as mhu
+        if jax.process_count() == 1:
+            return payload
+        n = int(mhu.broadcast_one_to_all(
+            np.asarray(len(payload), np.int32)))
+        if jax.process_index() == 0:
+            buf = np.frombuffer(payload, np.uint8).copy()
+        else:
+            buf = np.zeros(n, np.uint8)
+        out = mhu.broadcast_one_to_all(buf)
+        return np.asarray(out).tobytes()
+
+
+def apply_feed_events(engine, events: list[dict]) -> None:
+    """Replay broadcast request events into a follower engine — the
+    SAME engine/device calls the primary makes, so schedulers and the
+    sharded device-step sequences stay in lockstep (embed/classify run
+    sharded compute too and MUST be mirrored)."""
+    from ..engine.sampling_params import SamplingParams
+    for ev in events:
+        try:
+            if ev["op"] == "add":
+                engine.add_request(ev["prompt"],
+                                   SamplingParams(**ev["params"]),
+                                   request_id=ev["id"],
+                                   lora_name=ev.get("lora"))
+            elif ev["op"] == "abort":
+                engine.abort_request(ev["id"])
+            elif ev["op"] == "embed":
+                engine.embed(ev["prompt"])
+            elif ev["op"] == "classify":
+                engine.classify(ev["prompt"], ev["no"], ev["yes"])
+            elif ev["op"] == "probe":
+                engine.device_probe()
+        except Exception:
+            # the primary hit (and surfaced) the same deterministic
+            # error; both engines skipped the state change
+            logger.debug("follower event failed", exc_info=True)
+
+
+def run_follower(engine, feed: RequestFeed, max_iters=None) -> int:
+    """Non-primary host serving loop: replay the primary's request
+    stream and execute the same engine steps.  Returns steps executed
+    (the loop ends when the feed delivers {"op": "stop"})."""
+    steps = 0
+    it = 0
+    while max_iters is None or it < max_iters:
+        it += 1
+        events = feed.exchange()
+        if any(ev.get("op") == "stop" for ev in events):
+            break
+        apply_feed_events(
+            engine, [e for e in events if e["op"] != "stop"])
+        if engine.has_unfinished():
+            engine.step()
+            steps += 1
+    return steps

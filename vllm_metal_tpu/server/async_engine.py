@@ -26,11 +26,17 @@ _SENTINEL = object()
 
 
 class AsyncEngine:
-    def __init__(self, engine: LLMEngine):
+    def __init__(self, engine: LLMEngine, feed=None):
         self.engine = engine
+        # multi-host lockstep serving: a parallel.multihost.RequestFeed
+        # broadcasting this (primary) host's request events to follower
+        # hosts each loop iteration (docs/distributed.md "Multi-host")
+        self.feed = feed
         self.loop: Optional[asyncio.AbstractEventLoop] = None
         self._in: "queue.Queue" = queue.Queue()
         self._queues: dict[str, asyncio.Queue] = {}
+        self._futs: dict[str, object] = {}
+        self._fut_counter = 0
         self._wake = threading.Event()
         self._stop = False
         self._steps = 0
@@ -43,11 +49,99 @@ class AsyncEngine:
         self._thread.start()
 
     def shutdown(self) -> None:
+        if self.feed is not None:
+            self.feed._queue.append({"op": "stop"})
         self._stop = True
         self._wake.set()
 
     # -- engine thread ---------------------------------------------------
+    def _params_dict(self, params: SamplingParams) -> dict:
+        import dataclasses
+        d = dataclasses.asdict(params)
+        d.pop("grammar", None)      # no wire format (API layer rejects)
+        return d
+
+    def _drain_to_feed(self) -> None:
+        """Multi-host primary: turn inbox items into broadcastable feed
+        events (applied identically on every host by _apply_events)."""
+        while True:
+            try:
+                kind, payload = self._in.get_nowait()
+            except queue.Empty:
+                return
+            if kind == "add":
+                rid, ids, params, mm, lora = payload
+                if mm is not None and mm:
+                    self._emit(rid, ValueError(
+                        "multimodal requests unsupported in multi-host "
+                        "serving (features have no wire format yet)"))
+                    continue
+                self.feed._queue.append({
+                    "op": "add", "id": rid, "prompt": list(map(int, ids)),
+                    "params": self._params_dict(params), "lora": lora})
+            elif kind == "abort":
+                self.feed.queue_abort(payload)
+            elif kind in ("embed", "classify", "probe"):
+                tag = f"f{self._fut_counter}"
+                self._fut_counter += 1
+                self._futs[tag] = payload
+                if kind == "embed":
+                    self.feed._queue.append(
+                        {"op": "embed", "tag": tag,
+                         "prompt": list(map(int, payload[0]))})
+                elif kind == "classify":
+                    ids, no_id, yes_id, fut = payload
+                    self.feed._queue.append(
+                        {"op": "classify", "tag": tag,
+                         "prompt": list(map(int, ids)),
+                         "no": int(no_id), "yes": int(yes_id)})
+                else:
+                    self.feed._queue.append({"op": "probe", "tag": tag})
+
+    def _apply_events(self, events: list) -> None:
+        """Apply broadcast events — the SAME calls run on every host, so
+        engines stay in lockstep; only the primary resolves futures."""
+        for ev in events:
+            op = ev.get("op")
+            try:
+                if op == "add":
+                    self.engine.add_request(
+                        ev["prompt"], SamplingParams(**ev["params"]),
+                        request_id=ev["id"], lora_name=ev.get("lora"))
+                elif op == "abort":
+                    self.engine.abort_request(ev["id"])
+                elif op == "embed":
+                    vec = self.engine.embed(ev["prompt"])
+                    p = self._futs.pop(ev["tag"], None)
+                    if p is not None:
+                        self.loop.call_soon_threadsafe(
+                            p[1].set_result, vec)
+                elif op == "classify":
+                    score = self.engine.classify(ev["prompt"], ev["no"],
+                                                 ev["yes"])
+                    p = self._futs.pop(ev["tag"], None)
+                    if p is not None:
+                        self.loop.call_soon_threadsafe(
+                            p[3].set_result, score)
+                elif op == "probe":
+                    self.engine.device_probe()
+                    p = self._futs.pop(ev["tag"], None)
+                    if p is not None:
+                        self.loop.call_soon_threadsafe(
+                            p.set_result, True)
+            except Exception as e:
+                p = self._futs.pop(ev.get("tag", ""), None)
+                if p is not None:
+                    fut = p if op == "probe" else p[-1]
+                    self.loop.call_soon_threadsafe(fut.set_exception, e)
+                elif op == "add":
+                    self._emit(ev["id"], e)
+
     def _drain_inbox(self) -> None:
+        if self.feed is not None:
+            self._drain_to_feed()
+            self._apply_events(self.feed.exchange())
+            return
         while True:
             try:
                 kind, payload = self._in.get_nowait()
@@ -96,6 +190,8 @@ class AsyncEngine:
         failures = 0
         while not self._stop:
             self._drain_inbox()
+            if self._stop:
+                break
             if not self.engine.has_unfinished():
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
@@ -126,6 +222,9 @@ class AsyncEngine:
                 continue
             for out in outs:
                 self._emit(out.request_id, out)
+        if self.feed is not None:
+            # broadcast the stop so follower hosts exit their loops
+            self.feed.exchange()
 
     # -- async API -------------------------------------------------------
     async def check_health(self, probe_timeout: float = 5.0) -> dict:

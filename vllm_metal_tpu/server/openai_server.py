@@ -90,6 +90,10 @@ class OpenAIServer:
             body, self.tok, self.vocab_size,
             getattr(self.tok, "eos_token_id", None))
         if grammar is not None:
+            if getattr(self.engine, "feed", None) is not None:
+                raise ValueError(
+                    "guided decoding is unsupported in multi-host "
+                    "serving (grammar state has no wire format)")
             params.grammar = grammar
 
     def _check_ids(self, prompt_ids) -> Optional[str]:
@@ -535,10 +539,10 @@ class OpenAIServer:
 
 
 def serve(engine, tokenizer, host: str = "0.0.0.0", port: int = 8000,
-          model_name: str = "model") -> None:
+          model_name: str = "model", feed=None) -> None:
     import asyncio
 
-    async_engine = AsyncEngine(engine)
+    async_engine = AsyncEngine(engine, feed=feed)
     server = OpenAIServer(async_engine, tokenizer, model_name)
     app = server.app()
 

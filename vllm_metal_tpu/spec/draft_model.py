@@ -49,38 +49,49 @@ class DraftModelProposer:
         pass  # no cooldown policy for model drafting
 
     def propose(self, request_id: str, token_ids: list[int]) -> list[int]:
-        """token_ids: the target's committed tokens; returns <= K drafts."""
+        """Single-request entry point (batched path below)."""
+        return self.propose_batch([(request_id, token_ids)]).get(
+            request_id, [])
+
+    def propose_batch(self, reqs: list) -> dict[str, list[int]]:
+        """reqs: [(request_id, committed_token_ids), ...] -> drafts.
+
+        K runner steps total for the WHOLE batch (step 0 ingests each
+        request's unseen suffix as a varlen chunk and yields the first
+        draft; K-1 batched single-token decode steps extend) — the r3
+        shape was a host loop costing B*K device calls."""
         from ..engine.model_runner import SeqStepInput
 
-        n = len(token_ids)
-        max_total = n + self.num_tokens + 1
-        if request_id not in self._ingested:
-            if not self.bm.allocate(request_id, token_ids):
-                return []
-            self._ingested[request_id] = 0
-        if not self.bm.append_slots(request_id, max_total):
-            return []
-
-        start = self._ingested[request_id]
-        # the draft may have speculated past tokens that were rejected;
-        # re-ingest from the last committed point it agrees with
-        start = min(start, n - 1)
-        drafts: list[int] = []
-        seq = list(token_ids)
-        # one step ingests the un-seen suffix and yields the first draft,
-        # then K-1 single-token decode steps extend it
+        live: list[tuple[str, list[int], int]] = []   # (rid, seq, start)
+        for request_id, token_ids in reqs:
+            n = len(token_ids)
+            if request_id not in self._ingested:
+                if not self.bm.allocate(request_id, token_ids):
+                    continue
+                self._ingested[request_id] = 0
+            if not self.bm.append_slots(request_id,
+                                        n + self.num_tokens + 1):
+                continue
+            # the draft may have speculated past tokens that were
+            # rejected; re-ingest from the last committed agreeing point
+            start = min(self._ingested[request_id], n - 1)
+            live.append((request_id, list(token_ids), start))
+            self._ingested[request_id] = n  # committed prefix only
+        drafts: dict[str, list[int]] = {rid: [] for rid, _, _ in live}
         for step in range(self.num_tokens):
-            chunk = seq[start:]
-            out = self.runner.execute([SeqStepInput(
-                query_tokens=chunk,
-                context_len=len(seq),
-                block_table=self.bm.get_block_table(request_id),
-                params=self._greedy)])
-            tok = int(out.token_ids[0])
-            drafts.append(tok)
-            start = len(seq)
-            seq.append(tok)
-            if not self.bm.append_slots(request_id, len(seq) + 1):
+            if not live:
                 break
-        self._ingested[request_id] = n  # committed prefix only
+            out = self.runner.execute([SeqStepInput(
+                query_tokens=seq[start:],
+                context_len=len(seq),
+                block_table=self.bm.get_block_table(rid),
+                params=self._greedy) for rid, seq, start in live])
+            nxt = []
+            for i, (rid, seq, start) in enumerate(live):
+                tok = int(out.token_ids[i])
+                drafts[rid].append(tok)
+                seq.append(tok)
+                if self.bm.append_slots(rid, len(seq) + 1):
+                    nxt.append((rid, seq, len(seq) - 1))
+            live = nxt
         return drafts

@@ -90,65 +90,84 @@ class MTPProposer:
             return self._fwd
         cfg = self.cfg
         model = self.model
+        use_pallas = getattr(self.runner.backend, "use_pallas", False)
 
         @jax.jit
         def fwd(head: MTPHeadWeights, target_weights, kv_cache,
-                hidden: jax.Array, token: jax.Array, md):
-            """hidden [H], token []: one draft token via shared-KV attention.
-
-            The draft query attends the target's LAST layer KV pool
+                hidden: jax.Array, tokens: jax.Array, md):
+            """hidden [B, H], tokens [B]: one draft token per request via
+            shared-KV attention — ONE dispatch for the whole decode-ready
+            batch.  Draft queries attend the target's LAST layer KV pool
             read-only (positions beyond the cached context are invisible,
-            matching the reference's read_existing_kv plan).
-            """
-            emb = embed_lookup(target_weights.embedding, token[None])[0]
-            x = linear(jnp.concatenate([hidden.astype(jnp.float32),
-                                        emb.astype(jnp.float32)])[None, :],
-                       head.fuse)
+            matching the reference's read_existing_kv plan)."""
+            b = hidden.shape[0]
+            emb = embed_lookup(target_weights.embedding, tokens)   # [B, H]
+            x = linear(jnp.concatenate(
+                [hidden.astype(jnp.float32), emb.astype(jnp.float32)],
+                axis=-1), head.fuse)                               # [B, H]
             hh = rms_norm(x, head.attn_norm, cfg.rms_norm_eps)
-            q1 = linear(hh, head.wq).reshape(1, -1, cfg.head_dim)
-            q1 = apply_rope(q1, md.positions[:1], model.inv_freq)
-            # pad the single draft row to the metadata's token_pad, and
-            # q lanes to the pool's 128-multiple width (kv_cache.allocate)
-            t_pad = md.positions.shape[0]
+            q = linear(hh, head.wq).reshape(b, -1, cfg.head_dim)
+            q = apply_rope(q, md.positions[:b], model.inv_freq)
+            # pad q lanes to the pool's 128-multiple width
+            # (kv_cache.allocate); rows are already the batch rows
             dp = kv_cache.shape[-1]
-            q = jnp.pad(q1, ((0, t_pad - 1), (0, 0),
-                             (0, dp - cfg.head_dim)))
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, dp - cfg.head_dim)))
             layer = cfg.num_layers - 1
-            # split pool [L, NB, 2, KH, bs, D] -> ref layout [KH, NB, *, D]
-            kc = jnp.swapaxes(kv_cache[layer, :, 0], 0, 1)
-            vc = jnp.swapaxes(kv_cache[layer, :, 1], 0, 1)
-            out = paged_attention_ref(
-                q, kc, vc, md, scale=cfg.head_dim ** -0.5
-            )[:1, :, :cfg.head_dim]
-            x = x + linear(out.reshape(1, -1), head.wo)
+            if use_pallas:
+                from ..ops.paged_attention_kernel import paged_attention
+                out = paged_attention(
+                    q, kv_cache, md, layer,
+                    scale=cfg.head_dim ** -0.5)[:, :, :cfg.head_dim]
+            else:
+                # split pool [L, NB, 2, KH, bs, D] -> ref [KH, NB, *, D]
+                kc = jnp.swapaxes(kv_cache[layer, :, 0], 0, 1)
+                vc = jnp.swapaxes(kv_cache[layer, :, 1], 0, 1)
+                out = paged_attention_ref(
+                    q, kc, vc, md, scale=cfg.head_dim ** -0.5
+                )[:, :, :cfg.head_dim]
+            x = x + linear(out.reshape(b, -1), head.wo)
             hm = rms_norm(x, head.mlp_norm, cfg.rms_norm_eps)
             y = jax.nn.silu(linear(hm, head.gate).astype(jnp.float32)
                             ).astype(hm.dtype) * linear(hm, head.up)
             x = x + linear(y, head.down)
             x = rms_norm(x, head.final_norm, cfg.rms_norm_eps)
             logits = model.logits(target_weights, x)
-            return jnp.argmax(logits[0]).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B]
 
         self._fwd = fwd
         return fwd
 
+    def propose_batch(self, reqs: list) -> dict[str, list[int]]:
+        """reqs: [(request_id, token_ids, hidden, block_table), ...] ->
+        one jitted dispatch covering every decode-ready request (the r3
+        per-request host loop cost one device call each)."""
+        if not reqs:
+            return {}
+        runner = self.runner
+        b_pad = runner._seq_bucket(len(reqs))
+        md = build_metadata(
+            query_lens=[1] * len(reqs),
+            context_lens=[len(t) for _, t, _, _ in reqs],
+            block_tables=[bt for _, _, _, bt in reqs],
+            block_size=runner.cfg.cache.block_size,
+            token_pad=b_pad, seq_pad=b_pad,
+            max_blocks_per_seq=runner.max_blocks_per_seq)
+        h = np.zeros((b_pad, self.cfg.hidden_size), np.float32)
+        toks = np.zeros((b_pad,), np.int32)
+        for i, (_, token_ids, hidden, _) in enumerate(reqs):
+            h[i] = np.asarray(hidden, np.float32)
+            toks[i] = token_ids[-1]
+        fwd = self._forward()
+        out = np.asarray(fwd(self.head, runner.weights, runner.cache.kv,
+                             jnp.asarray(h), jnp.asarray(toks), md))
+        return {rid: [int(out[i])] for i, (rid, _, _, _) in enumerate(reqs)}
+
     def propose_from_state(self, token_ids: list[int],
                            hidden: np.ndarray,
                            block_table: list[int]) -> list[int]:
-        """1-token draft given the target's last hidden state."""
-        runner = self.runner
-        n = len(token_ids)
-        md = build_metadata(
-            query_lens=[1], context_lens=[n],
-            block_tables=[block_table],
-            block_size=runner.cfg.cache.block_size,
-            token_pad=8, seq_pad=runner.cfg.scheduler.max_num_seqs,
-            max_blocks_per_seq=runner.max_blocks_per_seq)
-        fwd = self._forward()
-        tok = fwd(self.head, runner.weights, runner.cache.kv,
-                  jnp.asarray(hidden), jnp.asarray(token_ids[-1], jnp.int32),
-                  md)
-        return [int(tok)]
+        """1-token draft for a single request (batched entry point above)."""
+        out = self.propose_batch([("r", token_ids, hidden, block_table)])
+        return out["r"]
 
 
 def save_mtp_head(path: str, head: MTPHeadWeights) -> None:
