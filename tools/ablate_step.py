@@ -117,6 +117,9 @@ def main():
         # non-layer costs of the window program):
         "naw_no_head": attend_neither,       # + logits head -> zeros
         "naw_no_embed_head": attend_neither,  # + embed -> zeros too
+        # matmuls -> cheap broadcast (weights never stream): what's left
+        # of the full step is attention+write+glue
+        "no_matmul": orig_attend,
     }
 
     from vllm_metal_tpu.models import llama as _llama
@@ -134,6 +137,15 @@ def main():
         return (token_ids[:, None] * 0).astype(jnp.bfloat16) + \
             jnp.zeros((1, h), jnp.bfloat16)
 
+    from vllm_metal_tpu.models import llama as _l2
+    orig_linear = _l2.linear
+
+    def cheap_linear(x, ql, *a, **kw):
+        n = ql.w.shape[-1] if ql.layout == "kn" else ql.w.shape[-2]
+        if ql.stacked:
+            n = ql.w.shape[-1]
+        return jnp.zeros((x.shape[0], n), x.dtype) + x[:, :1]
+
     results = {}
     runner, cfg = make_runner(args)
     for name in args.variants.split(","):
@@ -142,6 +154,7 @@ def main():
             if name.startswith("naw_no_") else orig_logits
         _llama.LlamaModel.embed = zero_embed \
             if name == "naw_no_embed_head" else orig_embed
+        _l2.linear = cheap_linear if name == "no_matmul" else orig_linear
         runner._compiled.clear()
         t0 = time.perf_counter()
         ms = time_window(runner, cfg, args) * 1e3

@@ -120,7 +120,12 @@ class BlockManager:
         computed_blocks = computed_blocks or []
         total_blocks = -(-len(token_ids) // self.block_size)
         need_new = total_blocks - len(computed_blocks)
-        if need_new > self.num_free_blocks:
+        # adopting a cached-but-unreferenced prefix block pulls it OUT of
+        # the free queue — budget fresh blocks against what remains after
+        # that, or _alloc_one below would come up empty mid-allocation
+        free_computed = sum(1 for b in computed_blocks
+                            if b in self.free_queue)
+        if need_new > self.num_free_blocks - free_computed:
             return False
         blocks: list[int] = []
         for b in computed_blocks:

@@ -279,6 +279,7 @@ class LLMEngine:
     def step(self) -> list[RequestOutput]:
         draft_counts = self._propose_drafts()
         sched = self.scheduler.schedule(num_draft_tokens=draft_counts)
+        self.num_cached_prompt_tokens = self.scheduler.cached_prompt_tokens
         self.num_preemptions += len(sched.preempted)
         if self._is_hybrid:
             for victim in sched.preempted:

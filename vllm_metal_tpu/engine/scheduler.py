@@ -49,6 +49,8 @@ class Scheduler:
         self.max_model_len = max_model_len
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
+        # prompt tokens served from the prefix cache (admission-time hits)
+        self.cached_prompt_tokens = 0
 
     # ------------------------------------------------------------------
     def add_request(self, req: Request) -> None:
@@ -153,13 +155,27 @@ class Scheduler:
             cover = cached_tokens + n
             if not self.bm.allocate(req.request_id, all_ids[:cover],
                                     computed_blocks):
-                # can't fit: try preempting, else stall admission
-                if self._preempt_one() is None:
-                    break
-                continue
+                # Can't fit: STALL admission until decode growth or
+                # finishes free blocks.  Never preempt here — part 1
+                # already scheduled every running request this step, so
+                # an admission-path victim would be executed with freed
+                # blocks and rolled-back state while re-entering the
+                # waiting queue AHEAD of the request being admitted
+                # (observed corrupting greedy exactness:
+                # tests/test_contract.py::test_preempt_under_spec_exact).
+                if not self.running and not scheduled:
+                    # nothing running to free blocks: the request can
+                    # never fit this pool — fail it instead of spinning
+                    self.waiting.popleft()
+                    req.status = RequestStatus.FINISHED_ABORTED
+                    logger.warning(
+                        "request %s needs more KV blocks than the pool "
+                        "can ever free; aborting", req.request_id)
+                break
             self.waiting.popleft()
             req.status = RequestStatus.RUNNING
             req.num_computed_tokens = cached_tokens
+            self.cached_prompt_tokens += cached_tokens
             self.running.append(req)
             budget -= n
             scheduled.append(ScheduledSeq(req, n))
