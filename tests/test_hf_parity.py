@@ -215,3 +215,18 @@ def test_vl_arch_routing(tmp_path):
     raises past the routing point, not at it)."""
     from vllm_metal_tpu.models.hf_loader import VL_ARCHS
     assert "Qwen2VLForConditionalGeneration" in VL_ARCHS
+
+
+def test_ernie4_5_parity(tmp_path):
+    """ERNIE 4.5 dense (PaddleOCR-VL's text backbone): llama layer shape
+    with GLM-style interleaved-pair rope, tied embeddings."""
+    from transformers.models.ernie4_5 import (
+        Ernie4_5Config, Ernie4_5ForCausalLM)
+    cfg = Ernie4_5Config(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=128,
+        use_bias=False, tie_word_embeddings=True, rope_theta=500000.0)
+    torch.manual_seed(0)
+    hf = Ernie4_5ForCausalLM(cfg)
+    _compare(hf, tmp_path, vocab=96)

@@ -77,13 +77,17 @@ def build_engine(model_path: str,
         import json
         with open(os.path.join(model_path, "config.json")) as f:
             hf_cfg = json.load(f)
-        from ..models.hf_loader import VL3_ARCHS, VL_ARCHS, load_hf_model
+        from ..models.hf_loader import (PADDLE_ARCHS, VL3_ARCHS, VL_ARCHS,
+                                        load_hf_model)
         arch0 = hf_cfg.get("architectures", [""])[0]
         if "quantization_config" in hf_cfg and \
                 str(hf_cfg["quantization_config"].get(
                     "quant_method", "")).lower() == "awq":
             from ..gguf.awq_loader import load_awq_model
             model, weights, mcfg = load_awq_model(model_path)
+        elif arch0 in PADDLE_ARCHS:
+            from ..models.paddle_vl import load_hf_paddle_vl_model
+            model, weights, mcfg = load_hf_paddle_vl_model(model_path)
         elif arch0 in VL3_ARCHS:
             from ..models.qwen3_vl_mm import load_hf_qwen3vl_model
             model, weights, mcfg = load_hf_qwen3vl_model(model_path)

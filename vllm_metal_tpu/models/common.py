@@ -98,6 +98,25 @@ def yarn_attention_factor(rope_scaling: Optional[dict]) -> float:
     return m ** 2
 
 
+def apply_rope_pairs(x: jax.Array, positions: jax.Array,
+                     inv_freq: jax.Array) -> jax.Array:
+    """GLM/ERNIE-style INTERLEAVED-pair RoPE (full dim, f32 compute).
+
+    Pair (x[2i], x[2i+1]) rotates by angle pos * inv_freq[i] — the
+    transformers ``Ernie4_5`` scheme: ``rotate_half`` interleaves odd/even
+    lanes and cos/sin are ``repeat_interleave(freqs, 2)``.  x: [T, H, D].
+    """
+    dt = x.dtype
+    t, h, d = x.shape
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]                 # [T, 1, d/2]
+    sin = jnp.sin(angles)[:, None, :]
+    xf = x.astype(jnp.float32).reshape(t, h, d // 2, 2)
+    x1, x2 = xf[..., 0], xf[..., 1]
+    out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.reshape(t, h, d).astype(dt)
+
+
 def apply_rope(x: jax.Array, positions: jax.Array,
                inv_freq: jax.Array) -> jax.Array:
     """NeoX-style rotate-half RoPE.
@@ -133,7 +152,8 @@ def apply_rope(x: jax.Array, positions: jax.Array,
 
 def apply_mrope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
                 sections: tuple[int, ...],
-                interleaved: bool = False) -> jax.Array:
+                interleaved: bool = False,
+                pairs: bool = False) -> jax.Array:
     """Multimodal (3-axis) rotate-half RoPE.
 
     x: [T, heads, head_dim]; positions: [3, T] (t/h/w axes);
@@ -163,6 +183,14 @@ def apply_mrope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
     cos = jnp.cos(angles)[:, None, :]
     sin = jnp.sin(angles)[:, None, :]
     xf = x.astype(jnp.float32)
+    if pairs:
+        # GLM/ERNIE interleaved-pair rotation with section-chosen angles
+        t, h, d = x.shape
+        xp = xf.reshape(t, h, d // 2, 2)
+        x1, x2 = xp[..., 0], xp[..., 1]
+        out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                        axis=-1).reshape(t, h, d)
+        return out.astype(dt)
     half = x.shape[-1] // 2
     x1, x2 = xf[..., :half], xf[..., half:]
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)

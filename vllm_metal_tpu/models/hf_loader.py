@@ -42,6 +42,11 @@ _ARCH_MAP = {
     "MiniCPM3ForCausalLM": "minicpm3",
     # hybrid GDN + full-attention
     "Qwen3NextForCausalLM": "qwen3_next",
+    # ERNIE 4.5 dense (PaddleOCR-VL's text backbone): llama layer shape
+    # with GLM-style interleaved-pair rope (transformers
+    # modeling_ernie4_5.py rotate_half + repeat_interleave cos/sin)
+    "Ernie4_5ForCausalLM": "ernie4_5",
+    "Ernie4_5_ForCausalLM": "ernie4_5",
 }
 
 # vision-language architectures routed to load_hf_vl_model
@@ -49,6 +54,8 @@ VL_ARCHS = {
     "Qwen2VLForConditionalGeneration",
     "Qwen2_5_VLForConditionalGeneration",
 }
+# PaddleOCR-VL (NaViT tower + ERNIE backbone) -> paddle_vl loader
+PADDLE_ARCHS = {"PaddleOCRVLForConditionalGeneration"}
 # DeepStack VL architectures routed to qwen3_vl_mm.load_hf_qwen3vl_model
 VL3_ARCHS = {
     "Qwen3VLForConditionalGeneration",
@@ -183,6 +190,11 @@ def config_from_hf(path: str) -> ModelConfig:
         if hf.get("query_pre_attn_scalar"):
             cfg.extra["attn_scale"] = float(
                 hf["query_pre_attn_scalar"]) ** -0.5
+    if arch == "ernie4_5":
+        if hf.get("use_bias"):
+            raise NotImplementedError(
+                "ernie4_5 with use_bias=True not supported yet")
+        cfg.extra["rope_interleaved_pairs"] = True
     return cfg
 
 

@@ -63,7 +63,8 @@ class LlamaWeights:
     lm_head: Optional[QuantLinear]         # None = tied to embedding
 
 
-@register_model("llama", "llama2", "llama3", "mistral", "qwen2", "qwen3")
+@register_model("llama", "llama2", "llama3", "mistral", "qwen2", "qwen3",
+                "ernie4_5")
 class LlamaModel:
     """Stateless model: all state (weights, KV) is passed explicitly."""
 
@@ -77,6 +78,8 @@ class LlamaModel:
         sec = cfg.extra.get("mrope_section")
         self.mrope_sections = tuple(sec) if sec else None
         self.mrope_interleaved = bool(cfg.extra.get("mrope_interleaved"))
+        # GLM/ERNIE-style interleaved-PAIR rotation (full dim, f32)
+        self.rope_pairs = bool(cfg.extra.get("rope_interleaved_pairs"))
 
     # -- weight init (tests) ------------------------------------------------
     def init_random(self, key: jax.Array, dtype=jnp.bfloat16) -> LlamaWeights:
@@ -158,9 +161,15 @@ class LlamaModel:
             assert self.mrope_sections is not None, \
                 "2-D positions need cfg.extra['mrope_section']"
             q = apply_mrope(q, positions, self.inv_freq,
-                            self.mrope_sections, self.mrope_interleaved)
+                            self.mrope_sections, self.mrope_interleaved,
+                            pairs=self.rope_pairs)
             k = apply_mrope(k, positions, self.inv_freq,
-                            self.mrope_sections, self.mrope_interleaved)
+                            self.mrope_sections, self.mrope_interleaved,
+                            pairs=self.rope_pairs)
+        elif self.rope_pairs:
+            from .common import apply_rope_pairs
+            q = apply_rope_pairs(q, positions, self.inv_freq)
+            k = apply_rope_pairs(k, positions, self.inv_freq)
         else:
             q = apply_rope(q, positions, self.inv_freq)
             k = apply_rope(k, positions, self.inv_freq)

@@ -25,6 +25,7 @@ def get_model_class(architecture: str) -> type:
     from . import qwen2_vl  # noqa: F401
     from . import qwen3_next  # noqa: F401
     from . import qwen3_vl_mm  # noqa: F401
+    from . import paddle_vl  # noqa: F401
     try:
         return _REGISTRY[architecture]
     except KeyError:
