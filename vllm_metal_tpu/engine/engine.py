@@ -339,8 +339,14 @@ class LLMEngine:
 
         hidden_np = None
         if self.proposer is not None and out.hidden is not None:
-            import numpy as np
-            hidden_np = np.asarray(out.hidden)   # one D2H for the batch
+            from ..spec.mtp import MTPProposer
+            if isinstance(self.proposer, MTPProposer):
+                import numpy as np
+                # one D2H for the batch — ONLY the MTP head consumes
+                # hidden states (a [S, H] f32 fetch per step costs tens
+                # of ms through the tunnel; ngram/draft-model never
+                # read it)
+                hidden_np = np.asarray(out.hidden)
         results: list[RequestOutput] = []
         now = time.monotonic()
         for i, s in enumerate(sched.scheduled):

@@ -213,7 +213,9 @@ def dequantize_ref(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
 
 # group-dot kernel: widest tile that keeps w-tile DMA + f32 acc in VMEM
 _GROUP_TN_TARGET = 7168
-_GROUP_TB = 256              # packed byte rows per k step
+import os as _os
+_GROUP_TB = int(_os.environ.get("VLLM_METAL_TPU_QMM_TB", "256"))
+# packed byte rows per k step (env knob for sweeps; 256 = swept default)
 _GROUP_M_MAX = 512           # above this, the dequant kernel wins
 _DEQ_TM, _DEQ_TN, _DEQ_TB = 512, 1024, 256   # swept on v5e (prefill 1024)
 
