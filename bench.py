@@ -83,8 +83,14 @@ def build_model(preset: str):
             num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
             max_model_len=512)
 
+    # BENCH_KV_QUANT="q4_0,q3_0" serves with the packed TurboQuant cache
+    # (block_size 128 so the Pallas TQ kernels engage on chip)
+    kvq = os.environ.get("BENCH_KV_QUANT", "")
+    ck, cv = (kvq.split(",") + ["q3_0"])[:2] if kvq else ("", "")
     cfg = EngineConfig(
-        model=mc, cache=CacheConfig(block_size=64),
+        model=mc,
+        cache=CacheConfig(block_size=128 if kvq else 64,
+                          kv_quant_k=ck, kv_quant_v=cv),
         scheduler=SchedulerConfig(
             max_num_seqs=64, max_num_batched_tokens=2048,
             token_buckets=(64, 128, 256, 512, 1024, 2048)))
