@@ -394,3 +394,29 @@ def test_logprobs_survive_preemption():
     for o in outs.values():
         assert len(o.logprobs) == len(o.token_ids) == 32
         assert all(np.isfinite(o.logprobs))
+
+
+def test_admission_abort_emits_finished_output():
+    """A request that can NEVER fit the KV pool must produce a finished
+    RequestOutput with finish_reason='abort' (not hang the client), and
+    must not leak engine/scheduler state (ADVICE r4)."""
+    eng = make_engine(num_blocks=2, max_seqs=2, budget=64)
+    # 2 blocks x 16 = 32 slots; a 30-token prompt + 16 max_tokens can
+    # never be allocated once generation needs a 3rd block -> with
+    # nothing running, admission aborts it
+    big = prompts((31,), seed=41)[0]
+    rid = eng.add_request(big, SamplingParams(max_tokens=64, **GREEDY))
+    outs = []
+    for _ in range(8):
+        outs.extend(eng.step())
+        if not eng.has_unfinished():
+            break
+    fin = [o for o in outs if o.finished]
+    assert [o.request_id for o in fin] == [rid]
+    assert fin[0].finish_reason == "abort"
+    assert rid not in eng.requests
+    assert not eng.scheduler.waiting and not eng.scheduler.running
+    # the pool is untouched and a small request still serves fine
+    ok = eng.generate(prompts((8,), seed=42),
+                      SamplingParams(max_tokens=4, **GREEDY))
+    assert all(len(o.token_ids) == 4 for o in ok.values())

@@ -115,3 +115,15 @@ def test_lb_failover(gguf_path):  # noqa: F811
         assert (await r.json())["healthy_replicas"] == 1
 
     asyncio.run(_run(gguf_path, fn))
+
+
+def test_merge_replica_label_space_in_value():
+    """Label values containing spaces must merge intact (ADVICE r4)."""
+    from vllm_metal_tpu.server.lb import merge_replica_label
+    lbl = 'replica="http://h:1"'
+    assert merge_replica_label('m{a="b c"} 1', lbl) == \
+        'm{a="b c",replica="http://h:1"} 1'
+    assert merge_replica_label("m 2.5", lbl) == \
+        'm{replica="http://h:1"} 2.5'
+    assert merge_replica_label('m{x="1"} 3 1700000000', lbl) == \
+        'm{x="1",replica="http://h:1"} 3 1700000000'

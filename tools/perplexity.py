@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# Some sandboxes install a jax platform plugin that wins platform selection
+# even when JAX_PLATFORMS is set in the environment; pin it explicitly via
+# config (which the plugin respects) so `JAX_PLATFORMS=cpu tools/perplexity.py`
+# really runs on CPU (tests/test_multihost.py's child uses the same idiom).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 import jax.numpy as jnp

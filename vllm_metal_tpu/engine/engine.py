@@ -284,13 +284,16 @@ class LLMEngine:
         if self._is_hybrid:
             for victim in sched.preempted:
                 self._release_state_slot(victim.request_id)
+        # admission-aborted requests (can never fit the pool) must still
+        # produce a finished output or async clients hang forever
+        abort_outs = [self._finish_aborted(req) for req in sched.aborted]
         if not sched.scheduled:
-            return []
+            return abort_outs
 
         window = self._window_size(sched)
         if window > 1:
             self.num_window_steps += 1
-            return self._step_window(sched, window)
+            return abort_outs + self._step_window(sched, window)
         self.num_single_steps += 1
 
         inputs: list[SeqStepInput] = []
@@ -402,7 +405,17 @@ class LLMEngine:
                 if self.proposer is not None:
                     self.proposer.release(req.request_id)
             results.append(self._make_output(req, emitted, stop))
-        return results
+        return abort_outs + results
+
+    def _finish_aborted(self, req) -> RequestOutput:
+        """Clean up and emit the final output for an admission-aborted
+        request (ADVICE r4: without this the HTTP client hangs)."""
+        self.requests.pop(req.request_id, None)
+        self._drafts.pop(req.request_id, None)
+        self._release_state_slot(req.request_id)
+        if self.proposer is not None:
+            self.proposer.release(req.request_id)
+        return self._make_output(req, [], RequestStatus.FINISHED_ABORTED)
 
     def _make_output(self, req, emitted: list[int], stop) -> RequestOutput:
         finished = stop is not None

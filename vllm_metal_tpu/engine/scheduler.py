@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 from collections import deque
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from ..config import SchedulerConfig
 from .block_manager import BlockManager
@@ -35,6 +35,10 @@ class ScheduledSeq:
 class SchedulerOutput:
     scheduled: list[ScheduledSeq]
     preempted: list[Request]
+    # requests rejected at admission (can never fit the KV pool); the
+    # engine must emit a finished RequestOutput for these or the client
+    # awaits forever
+    aborted: list[Request] = field(default_factory=list)
 
     @property
     def num_tokens(self) -> int:
@@ -103,6 +107,7 @@ class Scheduler:
         budget = self.cfg.max_num_batched_tokens
         scheduled: list[ScheduledSeq] = []
         preempted: list[Request] = []
+        aborted: list[Request] = []
 
         # 1. running requests: decodes (+ drafts) and prefill continuations
         for req in list(self.running):
@@ -168,6 +173,7 @@ class Scheduler:
                     # never fit this pool — fail it instead of spinning
                     self.waiting.popleft()
                     req.status = RequestStatus.FINISHED_ABORTED
+                    aborted.append(req)
                     logger.warning(
                         "request %s needs more KV blocks than the pool "
                         "can ever free; aborting", req.request_id)
@@ -182,4 +188,5 @@ class Scheduler:
 
         # pack decode-first (the reference's grouped layout)
         scheduled.sort(key=lambda s: s.num_new_tokens)
-        return SchedulerOutput(scheduled=scheduled, preempted=preempted)
+        return SchedulerOutput(scheduled=scheduled, preempted=preempted,
+                               aborted=aborted)

@@ -81,6 +81,10 @@ class RequestFeed:
     def __init__(self, transport=None):
         self.transport = transport or self._jax_broadcast
         self._queue: list[dict] = []
+        # True on the primary once a {"op": "stop"} event has been
+        # broadcast — the engine loop must NOT run another exchange after
+        # that (followers have exited; the collective would hang forever)
+        self.stop_sent = False
 
     # -- primary side -------------------------------------------------
     def queue_add(self, request_id: str, prompt_token_ids: list[int],
@@ -92,9 +96,14 @@ class RequestFeed:
     def queue_abort(self, request_id: str) -> None:
         self._queue.append({"op": "abort", "id": request_id})
 
+    def queue_stop(self) -> None:
+        self._queue.append({"op": "stop"})
+
     # -- every host, once per engine-loop iteration --------------------
     def exchange(self) -> list[dict]:
         import json
+        if any(ev.get("op") == "stop" for ev in self._queue):
+            self.stop_sent = True
         payload = json.dumps(self._queue).encode() if self._queue else b"[]"
         self._queue = []
         out = self.transport(payload)
@@ -157,6 +166,15 @@ def run_follower(engine, feed: RequestFeed, max_iters=None) -> int:
         apply_feed_events(
             engine, [e for e in events if e["op"] != "stop"])
         if engine.has_unfinished():
-            engine.step()
-            steps += 1
+            # Same failure policy as the primary's _run loop (ADVICE r4):
+            # a deterministic step error hits every host; the primary
+            # catches it, eventually aborts the in-flight requests, and
+            # BROADCASTS those aborts through the feed — so the follower
+            # must swallow the error and keep exchanging (crashing here
+            # would hang the primary's next collective).
+            try:
+                engine.step()
+                steps += 1
+            except Exception:
+                logger.exception("follower engine step failed")
     return steps

@@ -50,7 +50,7 @@ class AsyncEngine:
 
     def shutdown(self) -> None:
         if self.feed is not None:
-            self.feed._queue.append({"op": "stop"})
+            self.feed.queue_stop()
         self._stop = True
         self._wake.set()
 
@@ -213,17 +213,26 @@ class AsyncEngine:
                     err = RuntimeError(f"engine step failed: {e!r}")
                     self._wedged = repr(e)
                     for rid in list(self._queues):
-                        try:
-                            self.engine.abort_request(rid)
-                        except Exception:
-                            pass
+                        if self.feed is not None:
+                            # route through the feed so followers replay
+                            # the abort and stay in lockstep (ADVICE r4);
+                            # applied on every host at the next exchange
+                            self.feed.queue_abort(rid)
+                        else:
+                            try:
+                                self.engine.abort_request(rid)
+                            except Exception:
+                                pass
                         self._emit(rid, err)
                     failures = 0
                 continue
             for out in outs:
                 self._emit(out.request_id, out)
-        if self.feed is not None:
+        if self.feed is not None and not self.feed.stop_sent:
             # broadcast the stop so follower hosts exit their loops
+            # (skipped when _drain_inbox already broadcast it — a second
+            # exchange with followers gone would hang in the collective)
+            self.feed.queue_stop()
             self.feed.exchange()
 
     # -- async API -------------------------------------------------------

@@ -33,6 +33,20 @@ logger = logging.getLogger(__name__)
 HOP_HEADERS = {"host", "content-length", "transfer-encoding", "connection"}
 
 
+def merge_replica_label(line: str, lbl: str) -> str:
+    """Inject ``lbl`` (e.g. replica="http://...") into a Prometheus sample
+    line.  Splits on the LAST '}' — label values may legally contain
+    spaces and braces-in-quotes are not produced by our exporters, so
+    ``m{a="b c"} 1`` merges to ``m{a="b c",replica="..."} 1`` (ADVICE r4:
+    partition(' ') corrupted such lines)."""
+    if "{" in line and "}" in line:
+        head, _, rest = line.rpartition("}")
+        base, _, lbls = head.partition("{")
+        return f'{base}{{{lbls},{lbl}}}{rest}'
+    name, _, rest = line.partition(" ")
+    return f'{name}{{{lbl}}} {rest}'
+
+
 class Replica:
     def __init__(self, base_url: str):
         self.base_url = base_url.rstrip("/")
@@ -164,15 +178,7 @@ class LoadBalancer:
                         text = await resp.text()
                     for line in text.splitlines():
                         if line and not line.startswith("#"):
-                            name, _, rest = line.partition(" ")
-                            if name.endswith("}") and "{" in name:
-                                # merge into the existing label set:
-                                # m{a="b"} -> m{a="b",replica="..."}
-                                base, _, lbls = name.partition("{")
-                                parts.append(
-                                    f'{base}{{{lbls[:-1]},{lbl}}} {rest}')
-                            else:
-                                parts.append(f'{name}{{{lbl}}} {rest}')
+                            parts.append(merge_replica_label(line, lbl))
                 except Exception:
                     pass
         return web.Response(text="\n".join(parts) + "\n")
