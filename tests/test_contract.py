@@ -420,3 +420,43 @@ def test_admission_abort_emits_finished_output():
     ok = eng.generate(prompts((8,), seed=42),
                       SamplingParams(max_tokens=4, **GREEDY))
     assert all(len(o.token_ids) == 4 for o in ok.values())
+
+
+def test_spec_yields_to_window_when_window_wins():
+    """With the decode window enabled and a window-eligible batch, the
+    engine must NOT draft (a spec round emits <= 1+K tokens/dispatch and
+    forces single-step; the window emits more for less — r4 measured the
+    regression).  Output stays greedy-exact; no drafts are proposed."""
+    ps = prompts((12, 12), seed=61)
+    sp = SamplingParams(max_tokens=24, **GREEDY)
+    plain = make_engine(decode_window=8).generate(ps, sp)
+    eng = make_engine(decode_window=8,
+                      spec=SpecConfig(method="ngram",
+                                      num_speculative_tokens=3,
+                                      ngram_min=1))
+    spec = eng.generate(ps, sp)
+    # windows carry the bulk; spec may only engage for the tail where
+    # the remaining-token window is smaller than a draft round (< 1+K)
+    assert eng.num_window_steps >= 2
+    assert eng.num_single_steps <= 3
+    for k in plain:
+        assert plain[k].token_ids == spec[k].token_ids, k
+
+
+def test_spec_still_drafts_when_window_cannot_fire():
+    """A logprobs request in the batch disables the window; spec must
+    keep drafting for the greedy non-logprobs traffic."""
+    ps = prompts((12, 12), seed=63)
+    eng = make_engine(decode_window=8,
+                      spec=SpecConfig(method="ngram",
+                                      num_speculative_tokens=3,
+                                      ngram_min=1))
+    # repeated prompt so ngram drafts fire
+    rep = [5, 9, 5, 9, 5, 9, 5, 9, 5, 9, 5, 9]
+    eng.add_request(rep, SamplingParams(max_tokens=16, **GREEDY))
+    eng.add_request(ps[1], SamplingParams(max_tokens=16, logprobs=0,
+                                          **GREEDY))
+    while eng.has_unfinished():
+        eng.step()
+    assert eng.num_window_steps == 0
+    assert eng.num_proposed_drafts > 0

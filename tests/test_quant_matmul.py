@@ -202,3 +202,59 @@ def test_stacked_dense_linear():
         want = linear(x, qls[layer], out_dtype=jnp.float32)
         got = linear(x, stacked.at_layer(layer), out_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+# ---------------------------------------------------------------- fused seams
+@pytest.mark.parametrize("quantized", [False, True])
+def test_group_rms_prologue_matches_separate(quantized):
+    """In-kernel rms prologue == standalone rms_norm -> matmul."""
+    from vllm_metal_tpu.models.common import rms_norm
+    n, k, m, eps = 256, 512, 16, 1e-5
+    ql = make_q4(n, k)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32
+                    ).astype(jnp.bfloat16)
+    nw = jnp.asarray(rng.standard_normal((k,)), jnp.float32
+                     ).astype(jnp.bfloat16)
+    h = rms_norm(x, nw, eps)
+    want = _group_matmul(h, ql, out_dtype=jnp.float32, interpret=True,
+                         quantized=quantized)
+    got = _group_matmul(x, ql, out_dtype=jnp.float32, interpret=True,
+                        quantized=quantized, prep="rms", eps=eps, nw=nw)
+    _assert_close(got, want, tol=1e-5 if not quantized else 2e-2)
+
+
+def test_group_swiglu_prologue_and_residual():
+    """In-kernel swiglu prologue + residual epilogue == separate ops."""
+    n, k, m = 256, 512, 16
+    ql = make_q4(n, k)
+    rng = np.random.default_rng(5)
+    gu = jnp.asarray(rng.standard_normal((m, 2 * k)), jnp.float32
+                     ).astype(jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.float32
+                      ).astype(jnp.bfloat16)
+    g = gu[:, :k].astype(jnp.float32)
+    y = (g * jax.nn.sigmoid(g)).astype(jnp.bfloat16) * gu[:, k:]
+    want = _group_matmul(y, ql, out_dtype=jnp.bfloat16, interpret=True
+                         ) + res
+    got = _group_matmul(gu, ql, out_dtype=jnp.bfloat16, interpret=True,
+                        prep="swiglu_silu", res=res)
+    # not bitwise: the inlined swiglu may keep f32 precision through the
+    # product where the materialized-y path rounds to bf16 first
+    _assert_close(got, want, tol=5e-3)
+
+
+def test_linear_prep_res_fallback_matches_kernel_semantics():
+    """linear(prep=..., res=...) on the non-kernel path == explicit ops."""
+    from vllm_metal_tpu.models.common import rms_norm
+    n, k, m, eps = 64, 96, 4, 1e-5     # tiny dims -> linear_ref fallback
+    rng = np.random.default_rng(9)
+    ql = QuantLinear.dense(jnp.asarray(
+        rng.standard_normal((n, k)), jnp.float32))
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    nw = jnp.ones((k,), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.float32
+                      ).astype(jnp.bfloat16)
+    want = linear(rms_norm(x, nw, eps), ql) + res
+    got = linear(x, ql, prep=("rms", nw, eps), res=res)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -77,6 +77,12 @@ def test_health_models_metrics(client_factory):
         r = await client.get("/metrics")
         text = await r.text()
         assert "vllm_metal_tpu_generation_tokens_total" in text
+        # serving-health observability (VERDICT r4 #9): overshoot,
+        # window/single split, TTFT histogram
+        assert "vllm_metal_tpu_overshoot_tokens_total" in text
+        assert "vllm_metal_tpu_window_steps_total" in text
+        assert 'vllm_metal_tpu_ttft_seconds_bucket{le="+Inf"}' in text
+        assert "vllm_metal_tpu_ttft_seconds_count" in text
 
     asyncio.run(run_with_client(ae, srv, fn))
 

@@ -93,6 +93,44 @@ def main():
               f"({best * 1e3:.2f} ms total, state {state_mb:.0f} MB/layer, "
               f"row-traffic bw {traffic / best / 1e9:.0f} GB/s)", flush=True)
 
+    # ---- conv1d decode path (VERDICT r4 #7: measure or kernel) ----
+    # Depthwise causal conv + SiLU over the packed qkv channels, decode
+    # shapes (one token/seq), per-request carried taps — the jnp path the
+    # reference covers with gdn_conv1d_decode.metal.
+    from vllm_metal_tpu.ops.gdn import conv1d_varlen
+    conv_k = 4
+    C = 2 * hk * dk + hv * dv
+    x = jnp.asarray(rng.standard_normal((t, C)), jnp.bfloat16)
+    conv_w = jnp.asarray(rng.standard_normal((C, conv_k)), jnp.float32)
+    conv_b = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    cstate = jnp.zeros((slots, conv_k - 1, C), jnp.bfloat16)
+    local_idx = jnp.zeros((t,), jnp.int32)         # decode: one new token
+    qsl = jnp.arange(t + 1, dtype=jnp.int32)
+    ntok = jnp.asarray(t, jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def conv_chain(x, cst):
+        out = 0.0
+        for _ in range(L):
+            y, cst = conv1d_varlen(x, conv_w, conv_b, cst, tsids,
+                                   local_idx, seq_slots, qsl, ntok)
+            x = x + y.astype(x.dtype) * 1e-6
+            out = y
+        return out[0, :8], cst
+
+    c = cstate
+    out, c = conv_chain(x, c)
+    np.asarray(out)
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        out, c = conv_chain(x, c)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    print(f"conv1d : {best / L * 1e3:7.3f} ms/layer  "
+          f"({best * 1e3:.2f} ms total, C={C}, k={conv_k}, "
+          f"batch={t})", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -86,6 +86,15 @@ class LLMEngine:
         self.num_proposed_drafts = 0
         self.num_window_steps = 0      # engine steps served by the fused
         self.num_single_steps = 0      # multi-step decode window vs 1-step
+        # decode-window tokens computed past a stop/EOS and discarded
+        # (bounded overshoot the window path accepts; /metrics exposes it
+        # so operators can see the waste)
+        self.num_overshoot_tokens = 0
+        # TTFT histogram (seconds, cumulative Prometheus buckets)
+        self.ttft_bucket_bounds = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+        self.ttft_bucket_counts = [0] * (len(self.ttft_bucket_bounds) + 1)
+        self.ttft_sum = 0.0
+        self.ttft_count = 0
 
     def set_mtp_head(self, head_weights) -> None:
         """Install an MTP draft head (spec.method == 'mtp')."""
@@ -227,6 +236,14 @@ class LLMEngine:
         counts: dict[str, int] = {}
         if self.proposer is None:
             return counts
+        # A spec round emits at most 1 + K tokens/seq per dispatch and
+        # forces the single-step path; if the fused decode window would
+        # fire at >= that size for this batch, drafting can only LOSE
+        # throughput (r4 measured 0.82x at conc=8) — let the window run.
+        # Spec keeps its win where windows can't go: grammar/logprobs
+        # batches, mid-prefill mixes, or window-disabled configs.
+        if self._window_would_fire() >= self.cfg.spec.num_speculative_tokens + 1:
+            return counts
         w = self.cfg.spec.num_speculative_tokens
         ready = []
         for req in self.scheduler.running:
@@ -241,10 +258,11 @@ class LLMEngine:
             return counts
         from ..spec.mtp import MTPProposer
         if isinstance(self.proposer, MTPProposer):
-            reqs = [r for r in ready if r.last_hidden is not None]
+            reqs = [r for r in ready
+                    if self.proposer.has_hidden(r.request_id)]
             if reqs:
                 results = self.proposer.propose_batch(
-                    [(r.request_id, r.all_token_ids, r.last_hidden,
+                    [(r.request_id, r.all_token_ids,
                       self.bm.get_block_table(r.request_id))
                      for r in reqs])
             else:
@@ -261,6 +279,29 @@ class LLMEngine:
                 self._drafts[rid] = drafts
                 counts[rid] = len(drafts)
         return counts
+
+    def _window_would_fire(self) -> int:
+        """Decode-window size the NEXT step would run at if no drafts are
+        scheduled (0 = window path unavailable).  Mirrors
+        :meth:`_window_size`'s gates against the running set."""
+        w = self.cfg.scheduler.decode_window
+        if w <= 1 or not self.scheduler.running:
+            return 0
+        for req in self.scheduler.running:
+            if (req.params.grammar is not None
+                    or req.params.logprobs is not None
+                    or req.lora_name is not None
+                    or req.num_computed_tokens != req.num_tokens - 1
+                    or req.mrope_delta != 0):
+                return 0
+            w = min(w, req.params.max_tokens - len(req.output_token_ids),
+                    self.cfg.model.max_model_len - req.num_tokens)
+        if self.scheduler.waiting and \
+                len(self.scheduler.running) < self.cfg.scheduler.max_num_seqs:
+            w = min(w, 4)
+        if w < 1:
+            return 0
+        return 1 << (w.bit_length() - 1)
 
     def _state_slot_for(self, req) -> tuple[int, bool]:
         """(slot, is_fresh) — stable per-request GDN state slot."""
@@ -340,16 +381,16 @@ class LLMEngine:
 
         out = self.runner.execute(inputs)
 
-        hidden_np = None
         if self.proposer is not None and out.hidden is not None:
             from ..spec.mtp import MTPProposer
             if isinstance(self.proposer, MTPProposer):
-                import numpy as np
-                # one D2H for the batch — ONLY the MTP head consumes
-                # hidden states (a [S, H] f32 fetch per step costs tens
-                # of ms through the tunnel; ngram/draft-model never
-                # read it)
-                hidden_np = np.asarray(out.hidden)
+                # stash the batch's last-hidden rows in the proposer's
+                # DEVICE buffer (async scatter — no [S, H] D2H; through
+                # the tunnel that fetch cost tens of ms per step)
+                rows = [i for i, s in enumerate(inputs) if s.sample_needed]
+                self.proposer.stash_hidden(
+                    [sched.scheduled[i].request.request_id for i in rows],
+                    out.hidden, rows)
         results: list[RequestOutput] = []
         now = time.monotonic()
         for i, s in enumerate(sched.scheduled):
@@ -388,8 +429,7 @@ class LLMEngine:
                     break
             if req.first_token_time is None:
                 req.first_token_time = now
-            if hidden_np is not None:
-                req.last_hidden = hidden_np[i]
+                self._record_ttft(now - req.arrival_time)
             # commit after appending so block hashes cover real tokens
             # (spec-accepted tokens only exist in all_token_ids now); clamp
             # to num_tokens — a stop can truncate below the KV watermark
@@ -406,6 +446,16 @@ class LLMEngine:
                     self.proposer.release(req.request_id)
             results.append(self._make_output(req, emitted, stop))
         return abort_outs + results
+
+    def _record_ttft(self, ttft_s: float) -> None:
+        for i, b in enumerate(self.ttft_bucket_bounds):
+            if ttft_s <= b:
+                self.ttft_bucket_counts[i] += 1
+                break
+        else:
+            self.ttft_bucket_counts[-1] += 1
+        self.ttft_sum += ttft_s
+        self.ttft_count += 1
 
     def _finish_aborted(self, req) -> RequestOutput:
         """Clean up and emit the final output for an admission-aborted
@@ -584,10 +634,13 @@ class LLMEngine:
 
         results: list[RequestOutput] = []
         now = time.monotonic()
+        total_rows = chain * window
         for i, req in enumerate(reqs):
             req.num_computed_tokens += len(emitted[i])
+            self.num_overshoot_tokens += total_rows - len(emitted[i])
             if req.first_token_time is None:
                 req.first_token_time = now
+                self._record_ttft(now - req.arrival_time)
             self.bm.commit_full_blocks(
                 req.request_id, req.all_token_ids,
                 min(req.num_computed_tokens, req.num_tokens))

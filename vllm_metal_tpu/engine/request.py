@@ -50,8 +50,6 @@ class Request:
     # number of draft tokens accepted last step (spec decode metrics)
     num_accepted_drafts: int = 0
     first_token_time: Optional[float] = None
-    # target's final hidden state at the last sampled row (MTP drafting)
-    last_hidden: Optional[object] = None
     # multimodal: attached images (MMFeature list, embeds filled at
     # admission), 3-axis M-RoPE prompt positions [3, P] + decode delta
     mm_features: list = field(default_factory=list)

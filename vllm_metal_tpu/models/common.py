@@ -117,8 +117,19 @@ def apply_rope_pairs(x: jax.Array, positions: jax.Array,
     return out.reshape(t, h, d).astype(dt)
 
 
+def rope_cos_sin(positions: jax.Array, inv_freq: jax.Array
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Precompute (cos, sin) [T, rot/2] for :func:`apply_rope`.
+
+    Positions are layer-invariant, so callers running a layer loop hoist
+    this once per step instead of recomputing the transcendentals (and
+    their kernel launches) 2x per layer."""
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
 def apply_rope(x: jax.Array, positions: jax.Array,
-               inv_freq: jax.Array) -> jax.Array:
+               inv_freq: jax.Array, cos_sin=None) -> jax.Array:
     """NeoX-style rotate-half RoPE.
 
     x: [T, heads, head_dim]; positions: [T] int32.  Matches the per-segment
@@ -130,6 +141,8 @@ def apply_rope(x: jax.Array, positions: jax.Array,
     Partial rotary (Qwen3-Next ``partial_rotary_factor``): when
     ``2 * len(inv_freq) < head_dim`` only the leading ``2 * len(inv_freq)``
     dims are rotated; the tail passes through unchanged.
+
+    ``cos_sin``: optional precomputed :func:`rope_cos_sin` pair.
     """
     dt = x.dtype
     rot = 2 * inv_freq.shape[0]
@@ -137,9 +150,10 @@ def apply_rope(x: jax.Array, positions: jax.Array,
     if rot < x.shape[-1]:
         tail = x[..., rot:]
         x = x[..., :rot]
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
-    cos = jnp.cos(angles)[:, None, :]   # [T, 1, rot/2]
-    sin = jnp.sin(angles)[:, None, :]
+    if cos_sin is None:
+        cos_sin = rope_cos_sin(positions, inv_freq)
+    cos = cos_sin[0][:, None, :]   # [T, 1, rot/2]
+    sin = cos_sin[1][:, None, :]
     xf = x.astype(jnp.float32)
     half = rot // 2
     x1, x2 = xf[..., :half], xf[..., half:]

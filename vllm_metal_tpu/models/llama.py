@@ -123,28 +123,40 @@ class LlamaModel:
         return x
 
     def layer_qkv(self, lw: LlamaLayerWeights, x: jax.Array,
-                  positions: jax.Array, lora=None):
+                  positions: jax.Array, lora=None, rope_cs=None):
         """Project + norm + rope one layer's q, k, v from hidden x [T, H].
 
         ``lora``: optional callable (target_name, x) -> delta (multi-LoRA).
+        ``rope_cs``: optional hoisted :func:`rope_cos_sin` pair (positions
+        are layer-invariant; the forward loop computes it once).
         """
         cfg = self.cfg
         t = x.shape[0]
-        h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps)
-        if lw.wqkv is not None:        # single-chip fused path
-            qkv = linear(h, lw.wqkv)
+        if lw.wqkv is not None and lora is None:
+            # single-chip fused path: attn_norm runs as the matmul
+            # kernel's prologue (no standalone norm kernel/round-trip)
+            qkv = linear(x, lw.wqkv,
+                         prep=("rms", lw.attn_norm, cfg.rms_norm_eps))
             nq, nkv = cfg.q_dim, cfg.kv_dim
             q = qkv[:, :nq]
             k = qkv[:, nq:nq + nkv]
             v = qkv[:, nq + nkv:]
         else:
-            q = linear(h, lw.wq)
-            k = linear(h, lw.wk)
-            v = linear(h, lw.wv)
-        if lora is not None:
-            q = q + lora("wq", h)
-            k = k + lora("wk", h)
-            v = v + lora("wv", h)
+            h = rms_norm(x, lw.attn_norm, cfg.rms_norm_eps)
+            if lw.wqkv is not None:
+                qkv = linear(h, lw.wqkv)
+                nq, nkv = cfg.q_dim, cfg.kv_dim
+                q = qkv[:, :nq]
+                k = qkv[:, nq:nq + nkv]
+                v = qkv[:, nq + nkv:]
+            else:
+                q = linear(h, lw.wq)
+                k = linear(h, lw.wk)
+                v = linear(h, lw.wv)
+            if lora is not None:
+                q = q + lora("wq", h)
+                k = k + lora("wk", h)
+                v = v + lora("wv", h)
         if lw.bq is not None:
             q = q + lw.bq.astype(q.dtype)
             k = k + lw.bk.astype(k.dtype)
@@ -171,8 +183,8 @@ class LlamaModel:
             q = apply_rope_pairs(q, positions, self.inv_freq)
             k = apply_rope_pairs(k, positions, self.inv_freq)
         else:
-            q = apply_rope(q, positions, self.inv_freq)
-            k = apply_rope(k, positions, self.inv_freq)
+            q = apply_rope(q, positions, self.inv_freq, cos_sin=rope_cs)
+            k = apply_rope(k, positions, self.inv_freq, cos_sin=rope_cs)
         return q, k, v
 
     def layer_post_attn(self, lw: LlamaLayerWeights, x: jax.Array,
@@ -180,6 +192,15 @@ class LlamaModel:
         """Residual add + MLP for one layer. attn_out: [T, Hq, D]."""
         t = x.shape[0]
         ao = attn_out.reshape(t, -1)
+        if lw.wgu is not None and lora is None and not self.tp.enabled:
+            # single-chip fused chain: residual adds ride the matmul
+            # epilogues, mlp_norm and swiglu the prologues — three
+            # matmul kernels cover the whole post-attention half
+            x = linear(ao, lw.wo, res=x)
+            gu = linear(x, lw.wgu,
+                        prep=("rms", lw.mlp_norm, self.cfg.rms_norm_eps))
+            return linear(gu, lw.down,
+                          prep=("swiglu", self.cfg.hidden_act), res=x)
         o = linear(ao, lw.wo)
         if lora is not None:
             o = o + lora("wo", ao)
@@ -235,12 +256,22 @@ class LlamaModel:
         x = self.embed(weights, token_ids)
         if mm_embeds is not None:
             x = self.splice_mm(x, mm_embeds, mm_rows)
+        rope_cs = self._rope_cs(positions)
         for i, lw in enumerate(weights.layers):
             lora = lora_fn(i) if lora_fn is not None else None
-            q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
+            q, k, v = self.layer_qkv(lw, x, positions, lora=lora,
+                                     rope_cs=rope_cs)
             attn_out = attn_fn(i, q, k, v)
             x = self.layer_post_attn(lw, x, attn_out, lora=lora)
         return rms_norm(x, weights.final_norm, self.cfg.rms_norm_eps)
+
+    def _rope_cs(self, positions):
+        """Hoisted per-step rope tables (None for mrope/pairs variants,
+        which compute their own)."""
+        if positions.ndim != 1 or self.rope_pairs:
+            return None
+        from .common import rope_cos_sin
+        return rope_cos_sin(positions, self.inv_freq)
 
     def _forward_scan(self, weights, token_ids, positions, runtime,
                       lora_fn=None, mm_embeds=None, mm_rows=None
@@ -276,11 +307,14 @@ class LlamaModel:
                                                     keepdims=False)
             return jax.tree.map(sel, stacked, is_leaf=is_ql)
 
+        rope_cs = self._rope_cs(positions)
+
         def body(carry, i):
             x, cache = carry
             lw = select_layer(i)
             lora = lora_fn(i) if lora_fn is not None else None
-            q, k, v = self.layer_qkv(lw, x, positions, lora=lora)
+            q, k, v = self.layer_qkv(lw, x, positions, lora=lora,
+                                     rope_cs=rope_cs)
             sinks = getattr(lw, "sinks", None)
             out, cache = backend.attend(i, q, k, v, cache, md, sinks)
             x = self.layer_post_attn(lw, x, out, lora=lora)

@@ -228,10 +228,24 @@ def _nibbles(pw):
     return lo, hi
 
 
-def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
-                  bhi_ref, o_ref, acc_ref, xt_ref, gsum_ref, sx_ref,
+def _act_f32(name: str, g: jax.Array) -> jax.Array:
+    """Activation on f32 (kernel + fallback share this table)."""
+    if name == "silu":
+        return g * jax.lax.logistic(g)
+    if name == "gelu":
+        return jax.nn.gelu(g, approximate=False)
+    if name == "gelu_tanh":
+        return jax.nn.gelu(g, approximate=True)
+    if name == "relu":
+        return jnp.maximum(g, 0.0)
+    raise ValueError(name)
+
+
+def _group_kernel(idx_ref, x_ref, nw_ref, w_ref, slo_ref, shi_ref, blo_ref,
+                  bhi_ref, res_ref, o_ref, acc_ref, xt_ref, gsum_ref, sx_ref,
                   *, n_k: int, gs: int, quantized: bool, kind: str,
-                  has_bias: bool, kdim: int, tb: int, sg: int):
+                  has_bias: bool, kdim: int, tb: int, sg: int,
+                  prep: Optional[str], eps: float, has_res: bool):
     """Decode-path kernel; grid (mi, j, k).  Tiles (leading 1 = layer):
       x        [tm, K]     raw activations (bf16); index map constant in
                            (j, k) so the block DMAs once per mi
@@ -277,12 +291,32 @@ def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
 
     @pl.when(first)
     def _():
+        # Fused PROLOGUE (prep): the small elementwise op feeding this
+        # matmul runs here instead of as its own XLA kernel — at 8B
+        # decode each layer saves 3 launches + 3 HBM round-trips of the
+        # activations (rms x2, swiglu x1).  Numerics mirror the
+        # standalone ops exactly (f32 compute, bf16 cast at the end).
+        if prep is None:
+            xrows = x_ref[:].astype(jnp.bfloat16)            # [tm, K]
+        elif prep == "rms":
+            xf = x_ref[:].astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=1, keepdims=True)
+            nw = nw_ref[:].astype(jnp.float32)               # [1, K]
+            xrows = ((xf * jax.lax.rsqrt(var + eps)) * nw
+                     ).astype(jnp.bfloat16)
+        elif prep.startswith("swiglu_"):
+            xw = x_ref[:]                                    # [tm, 2K]
+            g = xw[:, :kdim].astype(jnp.float32)
+            u = xw[:, kdim:].astype(jnp.bfloat16)
+            xrows = _act_f32(prep[7:], g).astype(jnp.bfloat16) * u
+        else:
+            raise ValueError(prep)
         # transpose via MXU: dot_general(x [tm,K], I [tm,tm]) over dim 0
         eye = (jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
                ).astype(jnp.bfloat16)
         xt = jax.lax.dot_general(
-            x_ref[:].astype(jnp.bfloat16), eye, (((0,), (0,)), ((), ())),
+            xrows, eye, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [K, tm]
         gsum = xt.reshape(kdim // gs, gs, tm).sum(axis=1)    # [K//gs, tm]
         if quantized:
@@ -299,15 +333,15 @@ def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
             else:
                 xt_ref[:] = xt.astype(xt_ref.dtype)
         else:
-            xrows = x_ref[:].astype(jnp.float32)             # [tm, K]
+            xrows_f = xrows.astype(jnp.float32)              # [tm, K]
             if quantized:
                 sxr = jnp.maximum(
-                    jnp.max(jnp.abs(xrows), axis=1, keepdims=True),
+                    jnp.max(jnp.abs(xrows_f), axis=1, keepdims=True),
                     1e-6) / 127.0                            # [tm, 1]
-                qx = jnp.clip(jnp.round(xrows / sxr), -127, 127
+                qx = jnp.clip(jnp.round(xrows_f / sxr), -127, 127
                               ).astype(jnp.int8)
             else:
-                qx = xrows.astype(jnp.bfloat16)
+                qx = xrows_f.astype(jnp.bfloat16)
             mask = (jax.lax.broadcasted_iota(
                         jnp.int32, (sg * tm, ssz), 1) // gs
                     == jax.lax.broadcasted_iota(
@@ -378,7 +412,12 @@ def _group_kernel(idx_ref, x_ref, w_ref, slo_ref, shi_ref, blo_ref,
             # fold the per-token scale back in (sx is [1, tm]; out rows
             # are tokens, so transpose the broadcast)
             out = out * jnp.transpose(sx_ref[:])
-        o_ref[:] = out.astype(o_ref.dtype)
+        out = out.astype(o_ref.dtype)
+        if has_res:
+            # fused residual EPILOGUE: same bf16 add the caller's
+            # ``x + y`` would run, one launch + round-trip earlier
+            out = out + res_ref[:]
+        o_ref[:] = out
 
 
 def _expand_sub(s_ref, gs: int, tb: int):
@@ -468,12 +507,19 @@ def _largest_tile(n: int, target: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("out_dtype", "interpret", "quantized",
-                                    "sg"))
+                                    "sg", "prep", "eps"))
 def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
                   interpret: bool = False, quantized: bool = False,
-                  sg: Optional[int] = None):
-    """Decode-path entry: x [m, K] (m mult of 8), returns [m, N]."""
-    m, kdim = x.shape
+                  sg: Optional[int] = None, prep: Optional[str] = None,
+                  eps: float = 0.0, nw: Optional[jax.Array] = None,
+                  res: Optional[jax.Array] = None):
+    """Decode-path entry: x [m, K] (m mult of 8), returns [m, N].
+
+    ``prep``: fused prologue — "rms" (norm weight ``nw`` [1, K]) or
+    "swiglu_<act>" (x is [m, 2K]: act(x[:, :K]) * x[:, K:]).
+    ``res``: fused residual epilogue (out += res, bf16)."""
+    m, xk = x.shape
+    kdim = xk // 2 if prep is not None and prep.startswith("swiglu_") else xk
     n = ql.out_features
     gs = ql.group_size
     kind = ql.kind
@@ -521,7 +567,7 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     wbytes = 1 if quantized or kind == "q4" else w3.dtype.itemsize
 
     def stack_bytes(tn_):
-        xb = 2 * tm * kdim * 2                    # x blocks
+        xb = 2 * tm * xk * 2                      # x blocks (2K if swiglu)
         xt = sg * kdim * tm * (1 if quantized else 2)  # x^T / xbd scratch
         gsum = (kdim // gs) * tm * 4              # group sums
         wb = 2 * tb * tn_ * wbytes                # packed w blocks
@@ -529,7 +575,8 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         outb = 2 * tm * tn_ * 2
         accb = tm * tn_ * 4
         live = halves * gtile_b * tm * tn_ * 4    # in-flight group dots
-        return xb + xt + gsum + wb + sb + outb + accb + live
+        resb = 2 * tm * tn_ * 2 if res is not None else 0
+        return xb + xt + gsum + wb + sb + outb + accb + live + resb
 
     # Observed model misses on v5e: tm=16 and tm=64 compile at cap
     # 14.5 MB, but tm=32 (the 17..32-live-seq bucket) runs ~2.5 MB over
@@ -559,12 +606,30 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
 
     hi_off = n_k if kind == "q4" else 0   # q8 reuses the lo operands
 
+    # unused prologue/epilogue operands ride along in HBM (ANY: no block
+    # DMA is scheduled for them; the kernel never reads the refs)
+    if nw is None:
+        nw = jnp.zeros((1, 128), jnp.bfloat16)
+        nw_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        nw = nw.reshape(1, kdim)
+        nw_spec = pl.BlockSpec((1, kdim), lambda i, j, k, l: (0, 0),
+                               memory_space=pltpu.VMEM)
+    if res is None:
+        res_in = jnp.zeros((8, 128), jnp.bfloat16)
+        res_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        res_in = res.astype(jnp.bfloat16)
+        res_spec = pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
+                                memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, kdim), lambda i, j, k, l: (i, 0),
+            pl.BlockSpec((tm, xk), lambda i, j, k, l: (i, 0),
                          memory_space=pltpu.VMEM),               # x (raw)
+            nw_spec,                                             # norm w
             pl.BlockSpec((1, tb, tn), lambda i, j, k, l: (l[0], k, j),
                          memory_space=pltpu.VMEM),               # packed w
             pl.BlockSpec((1, gtile, tn), lambda i, j, k, l: (l[0], k, j),
@@ -575,6 +640,7 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
                          memory_space=pltpu.VMEM),               # b lo
             pl.BlockSpec((1, gtile, tn), lambda i, j, k, l, o=hi_off:
                          (l[0], k + o, j), memory_space=pltpu.VMEM),  # b hi
+            res_spec,                                            # residual
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l: (i, j),
                                memory_space=pltpu.VMEM),
@@ -589,7 +655,8 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     )
     kernel = functools.partial(
         _group_kernel, n_k=n_k, gs=gs, quantized=quantized, kind=kind,
-        has_bias=has_bias, kdim=kdim, tb=tb, sg=sg)
+        has_bias=has_bias, kdim=kdim, tb=tb, sg=sg, prep=prep, eps=eps,
+        has_res=res is not None)
     w_bytes = w3.size // w3.shape[0] * w3.dtype.itemsize
     cost = pl.CostEstimate(
         flops=2 * m * n * kdim, transcendentals=0,
@@ -598,7 +665,7 @@ def _group_matmul(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         cost_estimate=cost, interpret=interpret,
-    )(idx, x.astype(jnp.bfloat16), w3, s3, s3, b3, b3)
+    )(idx, x.astype(jnp.bfloat16), nw, w3, s3, s3, b3, b3, res_in)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -702,6 +769,24 @@ def _pallas_supported(ql: QuantLinear) -> bool:
     return True
 
 
+def _prep_jnp(x: jax.Array, prep) -> jax.Array:
+    """Reference/fallback version of the kernel prologue (same numerics:
+    f32 compute, cast back to x.dtype)."""
+    if prep is None:
+        return x
+    if prep[0] == "rms":
+        w, eps = prep[1], prep[2]
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return ((xf * jax.lax.rsqrt(var + eps))
+                * w.astype(jnp.float32)).astype(x.dtype)
+    if prep[0] == "swiglu":
+        k = x.shape[-1] // 2
+        g, u = x[..., :k], x[..., k:]
+        return _act_f32(prep[1], g.astype(jnp.float32)).astype(x.dtype) * u
+    raise ValueError(prep[0])
+
+
 def linear_ref(x: jax.Array, ql: QuantLinear,
                out_dtype=jnp.bfloat16) -> jax.Array:
     """Pure-jnp reference: x [..., K] -> [..., N].
@@ -716,20 +801,31 @@ def linear_ref(x: jax.Array, ql: QuantLinear,
 
 
 def linear(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
-           use_pallas: Optional[bool] = None) -> jax.Array:
-    """Quantized linear: x [..., K] -> [..., N] (= x @ dequant(w).T)."""
+           use_pallas: Optional[bool] = None, prep=None,
+           res: Optional[jax.Array] = None) -> jax.Array:
+    """Quantized linear: x [..., K] -> [..., N] (= x @ dequant(w).T).
+
+    ``prep``: optional fused prologue — ("rms", weight, eps) normalizes x
+    first; ("swiglu", act_name) treats x as [..., 2K] and feeds
+    act(x[:, :K]) * x[:, K:].  ``res``: optional fused residual epilogue
+    (returns out + res).  On the decode-path Pallas kernel these run
+    in-kernel (no extra launches/HBM round-trips); every other path
+    computes them with identical jnp ops."""
     if ql.kind == "dense":
         w = ql.w
         if ql.stacked:
             w = jax.lax.dynamic_index_in_dim(
                 w, jnp.asarray(ql.idx, jnp.int32), 0, keepdims=False)
-        return jnp.einsum(
+        x = _prep_jnp(x, prep)
+        out = jnp.einsum(
             "...k,nk->...n", x, w.astype(x.dtype)).astype(out_dtype)
+        return out if res is None else out + res
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       or envs.PALLAS_INTERPRET)
     if not use_pallas or not _pallas_supported(ql):
-        return linear_ref(x, ql, out_dtype)
+        out = linear_ref(_prep_jnp(x, prep), ql, out_dtype)
+        return out if res is None else out + res
 
     lead = x.shape[:-1]
     kdim = x.shape[-1]
@@ -737,16 +833,33 @@ def linear(x: jax.Array, ql: QuantLinear, out_dtype=jnp.bfloat16,
     for d in lead:
         m *= d
     x2 = x.reshape(m, kdim)
+    res2 = None if res is None else res.reshape(m, ql.out_features)
     pad = (-m) % 8
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        if res2 is not None:
+            res2 = jnp.pad(res2, ((0, pad), (0, 0)))
     interpret = bool(envs.PALLAS_INTERPRET)
     if x2.shape[0] <= _GROUP_M_MAX:
+        pk = eps = nw = None
+        if prep is not None:
+            if prep[0] == "rms":
+                pk, nw, eps = "rms", prep[1], float(prep[2])
+            elif x2.shape[0] <= 64:
+                pk, eps = f"swiglu_{prep[1]}", 0.0
+            else:
+                # swiglu x blocks are [tm, 2K]; beyond decode-sized tm
+                # they alone blow the 16 MB scoped-VMEM budget (observed:
+                # [128, 28672] bf16 double-buffered = 14.7 MB)
+                x2 = _prep_jnp(x2, prep)
         y = _group_matmul(x2, ql, out_dtype=out_dtype, interpret=interpret,
-                          quantized=bool(envs.W4A8))
+                          quantized=bool(envs.W4A8), prep=pk, eps=eps or 0.0,
+                          nw=nw, res=res2)
     else:
-        y = _dequant_matmul(x2, ql, out_dtype=out_dtype,
+        y = _dequant_matmul(_prep_jnp(x2, prep), ql, out_dtype=out_dtype,
                             interpret=interpret)
+        if res2 is not None:
+            y = y + res2
     if pad:
         y = y[:m]
     return y.reshape(*lead, ql.out_features)

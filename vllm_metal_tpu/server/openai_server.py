@@ -155,7 +155,25 @@ class OpenAIServer:
             f"vllm_metal_tpu_num_waiting {len(e.scheduler.waiting)}",
             "# TYPE vllm_metal_tpu_num_running gauge",
             f"vllm_metal_tpu_num_running {len(e.scheduler.running)}",
+            "# TYPE vllm_metal_tpu_window_steps_total counter",
+            f"vllm_metal_tpu_window_steps_total {e.num_window_steps}",
+            "# TYPE vllm_metal_tpu_single_steps_total counter",
+            f"vllm_metal_tpu_single_steps_total {e.num_single_steps}",
+            "# TYPE vllm_metal_tpu_overshoot_tokens_total counter",
+            f"vllm_metal_tpu_overshoot_tokens_total "
+            f"{e.num_overshoot_tokens}",
+            "# TYPE vllm_metal_tpu_ttft_seconds histogram",
         ]
+        cum = 0
+        for bound, cnt in zip(e.ttft_bucket_bounds, e.ttft_bucket_counts):
+            cum += cnt
+            lines.append(
+                f'vllm_metal_tpu_ttft_seconds_bucket{{le="{bound}"}} {cum}')
+        lines.append(
+            f'vllm_metal_tpu_ttft_seconds_bucket{{le="+Inf"}} '
+            f'{e.ttft_count}')
+        lines.append(f"vllm_metal_tpu_ttft_seconds_sum {e.ttft_sum:.6f}")
+        lines.append(f"vllm_metal_tpu_ttft_seconds_count {e.ttft_count}")
         return web.Response(text="\n".join(lines) + "\n",
                             content_type="text/plain")
 

@@ -68,7 +68,13 @@ def init_mtp_head(cfg, key, dtype=jnp.float32) -> MTPHeadWeights:
 
 
 class MTPProposer:
-    """Drafts one token per decode round from the target's state."""
+    """Drafts one token per decode round from the target's state.
+
+    The target's last hidden rows stay DEVICE-RESIDENT: each step the
+    engine calls :meth:`stash_hidden` (an async device scatter into a
+    per-request slot buffer) instead of fetching ``[S, H]`` to host —
+    through a remote-dispatch tunnel that fetch cost tens of ms per step
+    (r4 weak #5); the draft head gathers its rows on device."""
 
     def __init__(self, target_model: Any, head: MTPHeadWeights,
                  runner: Any):
@@ -77,9 +83,46 @@ class MTPProposer:
         self.runner = runner
         self.cfg = target_model.cfg
         self._fwd = None
+        nslots = runner.cfg.scheduler.max_num_seqs
+        self._buf = jnp.zeros((nslots, target_model.cfg.hidden_size),
+                              jnp.bfloat16)
+        self._slots: dict[str, int] = {}
+        self._free = list(range(nslots))
+        self._scatter = jax.jit(
+            lambda buf, hidden, rows, slots: buf.at[slots].set(
+                hidden.astype(buf.dtype)[rows], mode="drop"),
+            donate_argnums=(0,))
+
+    # -- device-resident hidden-state slots ----------------------------
+    def has_hidden(self, request_id: str) -> bool:
+        return request_id in self._slots
+
+    def stash_hidden(self, request_ids: list, hidden, rows: list) -> None:
+        """Scatter ``hidden[rows[i]]`` into each request's slot (one async
+        device dispatch; nothing crosses to host)."""
+        if not request_ids:
+            return
+        nslots = self._buf.shape[0]
+        slots = []
+        for rid in request_ids:
+            s = self._slots.get(rid)
+            if s is None:
+                if not self._free:      # shouldn't happen (<= max_num_seqs)
+                    slots.append(nslots)    # out-of-bounds -> dropped
+                    continue
+                s = self._free.pop(0)
+                self._slots[rid] = s
+            slots.append(s)
+        p = nslots - len(slots)
+        rows_a = np.asarray(list(rows) + [0] * p, np.int32)
+        slots_a = np.asarray(slots + [nslots] * p, np.int32)
+        self._buf = self._scatter(self._buf, hidden,
+                                  jnp.asarray(rows_a), jnp.asarray(slots_a))
 
     def release(self, request_id: str) -> None:
-        pass
+        s = self._slots.pop(request_id, None)
+        if s is not None:
+            self._free.append(s)
 
     def record_result(self, *a, **kw) -> None:
         pass
@@ -94,12 +137,14 @@ class MTPProposer:
 
         @jax.jit
         def fwd(head: MTPHeadWeights, target_weights, kv_cache,
-                hidden: jax.Array, tokens: jax.Array, md):
-            """hidden [B, H], tokens [B]: one draft token per request via
-            shared-KV attention — ONE dispatch for the whole decode-ready
-            batch.  Draft queries attend the target's LAST layer KV pool
-            read-only (positions beyond the cached context are invisible,
-            matching the reference's read_existing_kv plan)."""
+                buf: jax.Array, slots: jax.Array, tokens: jax.Array, md):
+            """buf [nslots, H] + slots [B], tokens [B]: one draft token per
+            request via shared-KV attention — ONE dispatch for the whole
+            decode-ready batch, hidden rows gathered ON DEVICE from the
+            stash buffer.  Draft queries attend the target's LAST layer KV
+            pool read-only (positions beyond the cached context are
+            invisible, matching the reference's read_existing_kv plan)."""
+            hidden = buf[jnp.clip(slots, 0, buf.shape[0] - 1)]
             b = hidden.shape[0]
             emb = embed_lookup(target_weights.embedding, tokens)   # [B, H]
             x = linear(jnp.concatenate(
@@ -138,36 +183,44 @@ class MTPProposer:
         return fwd
 
     def propose_batch(self, reqs: list) -> dict[str, list[int]]:
-        """reqs: [(request_id, token_ids, hidden, block_table), ...] ->
-        one jitted dispatch covering every decode-ready request (the r3
-        per-request host loop cost one device call each)."""
+        """reqs: [(request_id, token_ids, block_table), ...] -> one jitted
+        dispatch covering every decode-ready request; hidden states come
+        from the device-resident stash (no host round trip)."""
         if not reqs:
             return {}
         runner = self.runner
         b_pad = runner._seq_bucket(len(reqs))
         md = build_metadata(
             query_lens=[1] * len(reqs),
-            context_lens=[len(t) for _, t, _, _ in reqs],
-            block_tables=[bt for _, _, _, bt in reqs],
+            context_lens=[len(t) for _, t, _ in reqs],
+            block_tables=[bt for _, _, bt in reqs],
             block_size=runner.cfg.cache.block_size,
             token_pad=b_pad, seq_pad=b_pad,
             max_blocks_per_seq=runner.max_blocks_per_seq)
-        h = np.zeros((b_pad, self.cfg.hidden_size), np.float32)
+        nslots = self._buf.shape[0]
+        slots = np.full((b_pad,), nslots, np.int32)
         toks = np.zeros((b_pad,), np.int32)
-        for i, (_, token_ids, hidden, _) in enumerate(reqs):
-            h[i] = np.asarray(hidden, np.float32)
+        for i, (rid, token_ids, _) in enumerate(reqs):
+            slots[i] = self._slots[rid]
             toks[i] = token_ids[-1]
         fwd = self._forward()
         out = np.asarray(fwd(self.head, runner.weights, runner.cache.kv,
-                             jnp.asarray(h), jnp.asarray(toks), md))
-        return {rid: [int(out[i])] for i, (rid, _, _, _) in enumerate(reqs)}
+                             self._buf, jnp.asarray(slots),
+                             jnp.asarray(toks), md))
+        return {rid: [int(out[i])] for i, (rid, _, _) in enumerate(reqs)}
 
     def propose_from_state(self, token_ids: list[int],
                            hidden: np.ndarray,
                            block_table: list[int]) -> list[int]:
-        """1-token draft for a single request (batched entry point above)."""
-        out = self.propose_batch([("r", token_ids, hidden, block_table)])
-        return out["r"]
+        """1-token draft for a single request (batched entry point above).
+
+        ``hidden`` is stashed on device first (test/offline convenience)."""
+        self.stash_hidden(["r"], jnp.asarray(hidden, jnp.float32)[None],
+                          [0])
+        try:
+            return self.propose_batch([("r", token_ids, block_table)])["r"]
+        finally:
+            self.release("r")
 
 
 def save_mtp_head(path: str, head: MTPHeadWeights) -> None:
