@@ -460,3 +460,203 @@ def test_spec_still_drafts_when_window_cannot_fire():
         eng.step()
     assert eng.num_window_steps == 0
     assert eng.num_proposed_drafts > 0
+
+
+# -------------------------------------------------------------- r5 additions
+def test_tq_cache_x_preemption_resume_exact():
+    """TurboQuant cache + preemption: recompute-resume must re-quantize
+    the prompt identically, so a tight-pool run stays token-exact vs a
+    roomy one (quantized KV is deterministic)."""
+    def tq_engine(blocks):
+        cfg = EngineConfig(
+            model=dataclasses.replace(CFG, head_dim=128),
+            cache=CacheConfig(block_size=16, kv_quant_k="q8_0",
+                              kv_quant_v="q3_0"),
+            scheduler=SchedulerConfig(max_num_seqs=2,
+                                      max_num_batched_tokens=48,
+                                      token_buckets=(16, 32, 48)))
+        model = LlamaModel(cfg.model)
+        weights = model.init_random(jax.random.PRNGKey(1),
+                                    dtype=jnp.float32)
+        return LLMEngine(model, weights, cfg, num_blocks=blocks,
+                         use_pallas=False)
+
+    ps = prompts((20, 20), seed=71)
+    sp = SamplingParams(max_tokens=24, **GREEDY)
+    roomy = tq_engine(64).generate(ps, sp)
+    tight = tq_engine(5)
+    outs = tight.generate(ps, sp, max_steps=800)
+    assert tight.num_preemptions > 0
+    for k in roomy:
+        assert roomy[k].token_ids == outs[k].token_ids, k
+
+
+def test_lora_x_chunked_prefill_exact():
+    """A LoRA-routed request chunk-prefilled across several steps equals
+    the single-chunk prefill (adapter deltas are per-token)."""
+    from vllm_metal_tpu.engine.model_runner import ModelRunner
+    from vllm_metal_tpu.lora import LoRAAdapter, LoRAManager
+
+    rng = np.random.default_rng(0)
+
+    def adapter(rank=4):
+        ws = {}
+        L = CFG.num_layers
+        for t in ("wq", "gate"):
+            k = CFG.hidden_size
+            n = CFG.q_dim if t == "wq" else CFG.intermediate_size
+            ws[t] = (
+                rng.standard_normal((L, rank, k)).astype(np.float32),
+                rng.standard_normal((L, n, rank)).astype(np.float32))
+        return LoRAAdapter(rank=rank, scaling=4.0, weights=ws)
+
+    ad = adapter()          # ONE adapter shared by both runs
+
+    def run(budget):
+        cfg = EngineConfig(
+            model=CFG, cache=CacheConfig(block_size=16),
+            scheduler=SchedulerConfig(
+                max_num_seqs=2, max_num_batched_tokens=budget,
+                token_buckets=(16, 32, 64)))
+        m = LoRAManager(CFG, max_loras=2, max_rank=4)
+        m.add_adapter("a", ad)
+        model = LlamaModel(CFG)
+        weights = model.init_random(jax.random.PRNGKey(3),
+                                    dtype=jnp.float32)
+        runner = ModelRunner(model, weights, cfg, num_blocks=32,
+                             use_pallas=False, lora_manager=m)
+        eng = LLMEngine(model, weights, cfg, num_blocks=32, runner=runner)
+        rid = eng.add_request(prompts((40,), seed=73)[0],
+                              SamplingParams(max_tokens=8, **GREEDY),
+                              lora_name="a")
+        outs = {}
+        steps = 0
+        while eng.has_unfinished():
+            steps += 1
+            for o in eng.step():
+                if o.finished:
+                    outs[o.request_id] = o
+        return outs[rid].token_ids, steps
+
+    whole, s1 = run(budget=64)
+    chunked, s2 = run(budget=16)
+    assert s2 > s1          # really chunked
+    assert whole == chunked
+
+
+def test_window_x_abort_mid_chain():
+    """Aborting one request between window dispatches frees its state
+    and the remaining requests keep decoding on the window path."""
+    eng = make_engine(decode_window=4, max_seqs=2, budget=64)
+    ps = prompts((12, 12), seed=75)
+    sp = SamplingParams(max_tokens=40, **GREEDY)
+    r1 = eng.add_request(ps[0], sp)
+    r2 = eng.add_request(ps[1], sp)
+    for _ in range(2):
+        eng.step()
+    assert eng.num_window_steps >= 1
+    free_before = eng.bm.num_free_blocks
+    assert eng.abort_request(r1)
+    assert eng.bm.num_free_blocks >= free_before
+    outs = {}
+    while eng.has_unfinished():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o
+    assert set(outs) == {r2}
+    assert len(outs[r2].token_ids) == 40
+    assert eng.num_window_steps >= 2      # windows resumed post-abort
+
+
+def test_multibyte_stop_across_window_boundary():
+    """A multi-token stop string straddling a window boundary terminates
+    the request at the right token; window overshoot tokens never leak
+    into the output."""
+
+    from tests.test_stop_logprobs import CharTokenizer
+
+    eng = make_engine(decode_window=4, max_seqs=2, budget=64)
+    eng.tokenizer = CharTokenizer()
+    # greedy run to learn the emitted tokens
+    probe = prompts((10,), seed=77)[0]
+    base = eng.generate([probe], SamplingParams(max_tokens=12, **GREEDY))
+    toks = list(base.values())[0].token_ids
+    text = "".join(chr(33 + t) for t in toks)
+    # choose a 2-char stop whose FIRST occurrence ends at an index >= 4
+    # (so the pair straddles or follows the first window-of-4 boundary)
+    idx = None
+    for i in range(4, len(toks)):
+        pair = text[i - 1:i + 1]
+        if text.find(pair) == i - 1:
+            idx = i
+            break
+    assert idx is not None, "probe stream has no late-first pair"
+    stop = text[idx - 1:idx + 1]
+    eng2 = make_engine(decode_window=4, max_seqs=2, budget=64)
+    eng2.tokenizer = CharTokenizer()
+    out = eng2.generate([probe], SamplingParams(
+        max_tokens=12, temperature=0.0, ignore_eos=True, stop=[stop]))
+    o = list(out.values())[0]
+    assert o.finish_reason == "stop"
+    assert o.stop_reason == stop
+    assert o.token_ids == toks[:idx + 1]      # cut exactly after the stop
+    assert not o.text.endswith(stop)          # excluded by default
+
+
+def test_multihost_feed_x_spec_lockstep():
+    """Request-feed lockstep with an ngram proposer installed on both
+    hosts: spec decisions are deterministic, so outputs stay identical."""
+    from tests.test_multihost import Wire, make_engine as mh_engine
+    from vllm_metal_tpu.parallel.multihost import (
+        RequestFeed, apply_feed_events)
+
+    class EchoProposer:
+        """Deterministic drafts (last two tokens, reversed): exercises
+        the verify path regardless of the toy model's output statistics;
+        accept/reject decisions replay identically on every host."""
+
+        def propose(self, rid, ids):
+            return [ids[-1], ids[-2]]
+
+        def release(self, rid):
+            pass
+
+        def record_result(self, *a, **kw):
+            pass
+
+    def spec_engine(seed):
+        eng = mh_engine(seed=seed)
+        eng.cfg = dataclasses.replace(
+            eng.cfg, spec=SpecConfig(method="ngram",
+                                     num_speculative_tokens=3,
+                                     ngram_min=1))
+        eng.proposer = EchoProposer()
+        eng.runner.spec_window = 3
+        if hasattr(eng.runner, "_step"):
+            del eng.runner._step
+        return eng
+
+    wire = Wire()
+    pf = RequestFeed(transport=wire.primary)
+    ff = RequestFeed(transport=wire.follower)
+    primary, follower = spec_engine(3), spec_engine(3)
+    rep = [7, 9, 7, 9, 7, 9, 7, 9]
+    pf.queue_add("r0", rep, {"temperature": 0.0, "max_tokens": 8,
+                             "ignore_eos": True})
+    done_p, done_f = {}, {}
+    for _ in range(40):
+        apply_feed_events(primary, pf.exchange())
+        if primary.has_unfinished():
+            for o in primary.step():
+                if o.finished:
+                    done_p[o.request_id] = o.token_ids
+        apply_feed_events(follower, ff.exchange())
+        if follower.has_unfinished():
+            for o in follower.step():
+                if o.finished:
+                    done_f[o.request_id] = o.token_ids
+        if done_p and done_f:
+            break
+    assert done_p == done_f and "r0" in done_p
+    assert primary.num_proposed_drafts == follower.num_proposed_drafts
+    assert primary.num_proposed_drafts > 0

@@ -50,12 +50,12 @@ def test_quant_cache_pad_slots_dropped():
     k = jnp.ones((4, 2, 128), jnp.float32)
     slots = jnp.asarray([16, 17, -1, -1], jnp.int32)
     cache = cache.write(0, k, k, slots)
-    assert np.asarray(cache.k_codes[0, :, 0]).any() == False  # block 0 clean
+    assert np.asarray(cache.k_codes[0, 0]).any() == False  # block 0 clean
     # -1 must NOT wrap to the pool's last block
-    assert np.asarray(cache.k_codes[0, :, 3]).any() == False
-    assert np.asarray(cache.v_codes[0, :, 3]).any() == False
+    assert np.asarray(cache.k_codes[0, 3]).any() == False
+    assert np.asarray(cache.v_codes[0, 3]).any() == False
     # ...and the intended block got both tokens
-    assert np.asarray(cache.k_codes[0, :, 1]).any()
+    assert np.asarray(cache.k_codes[0, 1]).any()
 
 
 @pytest.mark.parametrize("ck,cv,atol", [

@@ -96,16 +96,21 @@ def main():
     orig_attend = bk.PagedAttentionBackend.attend
     orig_write = PagedKVCache.write
 
-    def attend_skip_write(self, layer_idx, q, k, v, cache, md, sinks=None):
-        out, _ = orig_attend(self, layer_idx, q, k, v, cache, md, sinks)
+    def attend_skip_write(self, layer_idx, q, k, v, cache, md, sinks=None,
+                          tq_plan=None):
+        out, _ = orig_attend(self, layer_idx, q, k, v, cache, md, sinks,
+                             tq_plan=tq_plan)
         return out, cache
 
-    def attend_identity(self, layer_idx, q, k, v, cache, md, sinks=None):
+    def attend_identity(self, layer_idx, q, k, v, cache, md, sinks=None,
+                        tq_plan=None):
+        kw = {"plan": tq_plan} if tq_plan is not None else {}
         cache = cache.write(layer_idx, k, v, md.slot_mapping,
-                            num_tokens=md.num_tokens)
+                            num_tokens=md.num_tokens, **kw)
         return q, cache
 
-    def attend_neither(self, layer_idx, q, k, v, cache, md, sinks=None):
+    def attend_neither(self, layer_idx, q, k, v, cache, md, sinks=None,
+                       tq_plan=None):
         return q, cache
 
     variants = {

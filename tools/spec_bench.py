@@ -84,16 +84,25 @@ def main():
     ap.add_argument("--conc", type=int, default=1)
     ap.add_argument("--num-spec", type=int, default=3)
     ap.add_argument("--max-tokens", type=int, default=128)
+    ap.add_argument("--window", type=int, default=0,
+                    help="decode_window for BOTH engines (0 = off): with "
+                         "windows on, the engine auto-skips drafting for "
+                         "window-eligible batches, so spec can only help")
     args = ap.parse_args()
 
     for conc in (args.conc, 8):
         base_eng = build(0)
+        if args.window:
+            base_eng.cfg.scheduler.decode_window = args.window
         base_tps, _ = run(base_eng, conc, args.max_tokens)
         del base_eng
         spec_eng = build(args.num_spec)
+        if args.window:
+            spec_eng.cfg.scheduler.decode_window = args.window
         spec_tps, acc = run(spec_eng, conc, args.max_tokens)
         del spec_eng
-        print(f"conc={conc}: base {base_tps:.1f} tok/s, "
+        print(f"conc={conc} window={args.window}: "
+              f"base {base_tps:.1f} tok/s, "
               f"spec(k={args.num_spec}) {spec_tps:.1f} tok/s "
               f"({spec_tps / base_tps:.2f}x), acceptance {acc:.2f}",
               flush=True)

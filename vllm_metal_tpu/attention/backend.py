@@ -57,12 +57,22 @@ class PagedAttentionBackend:
     def attend(self, layer_idx: int, q: jax.Array, k: jax.Array,
                v: jax.Array, cache: PagedKVCache,
                md: AttentionMetadata,
-               sinks: Optional[jax.Array] = None
-               ) -> tuple[jax.Array, PagedKVCache]:
+               sinks: Optional[jax.Array] = None,
+               tq_plan=None) -> tuple[jax.Array, PagedKVCache]:
         """Write k/v into the pool, then attend q against the pool."""
         from .quant_kv_cache import QuantPagedKVCache
-        cache = cache.write(layer_idx, k, v, md.slot_mapping,
-                            num_tokens=md.num_tokens)
+        if isinstance(cache, QuantPagedKVCache):
+            # bound the touched-block payload count (B <= T//bs + S + 1);
+            # tq_plan (runtime-hoisted, layer-invariant) skips the
+            # per-layer unique/searchsorted
+            cache = cache.write(
+                layer_idx, k, v, md.slot_mapping,
+                num_tokens=md.num_tokens,
+                max_seqs=md.query_start_loc.shape[0] - 1,
+                plan=tq_plan)
+        else:
+            cache = cache.write(layer_idx, k, v, md.slot_mapping,
+                                num_tokens=md.num_tokens)
         if isinstance(layer_idx, int):
             window = self.cfg.layer_sliding_window(layer_idx)
         else:
@@ -175,6 +185,12 @@ class StepRuntime:
         self.shared_md = shared_md
         self.shared_rows = shared_rows
         self._cell = [cache]
+        self._tq_plan = None
+        from .quant_kv_cache import QuantPagedKVCache
+        if isinstance(cache, QuantPagedKVCache):
+            self._tq_plan = cache.write_plan(
+                md.slot_mapping, md.num_tokens,
+                max_seqs=md.query_start_loc.shape[0] - 1)
 
     def __call__(self, layer_idx, q, k, v):
         return self.attend(layer_idx, q, k, v)
@@ -183,8 +199,15 @@ class StepRuntime:
         sinks = (self.sinks_per_layer[layer_idx]
                  if self.sinks_per_layer is not None else None)
         out, self._cell[0] = self.backend.attend(
-            layer_idx, q, k, v, self._cell[0], self.md, sinks)
+            layer_idx, q, k, v, self._cell[0], self.md, sinks,
+            tq_plan=self._tq_plan)
         return out
+
+    def attend_carry(self, layer_idx, q, k, v, cache, sinks=None):
+        """Explicit-carry variant (lax.scan bodies thread the cache
+        themselves); shares the hoisted per-step write plan."""
+        return self.backend.attend(layer_idx, q, k, v, cache, self.md,
+                                   sinks, tq_plan=self._tq_plan)
 
     def attend_shared(self, layer_idx: int, ref_layer: int, q):
         """YOCO shared layer: read-only attention on the ref layer's KV

@@ -379,6 +379,21 @@ class LLMEngine:
                 mrope_positions=mrope_pos,
             ))
 
+        if not any(s.sample_needed for s in inputs):
+            # pure prefill-chunk step: no output is consumed, so dispatch
+            # async and return — the engine overlaps the NEXT chunk's
+            # host-side prep (metadata, chunking) with device execution
+            # (the reference's execute_model/sample_tokens split;
+            # r4 weak: this path was fully synchronous)
+            self.runner.execute(inputs, sync=False, fetch_outputs=False)
+            for i, s in enumerate(sched.scheduled):
+                req = s.request
+                req.num_computed_tokens += s.num_new_tokens
+                self.bm.commit_full_blocks(
+                    req.request_id, req.all_token_ids,
+                    req.num_computed_tokens)
+            return abort_outs
+
         out = self.runner.execute(inputs)
 
         if self.proposer is not None and out.hidden is not None:

@@ -589,14 +589,20 @@ class ModelRunner:
 
     # ------------------------------------------------------------------
     def execute(self, seqs: list[SeqStepInput],
-                sync: bool = True) -> StepOutput:
+                sync: bool = True,
+                fetch_outputs: bool = True) -> Optional[StepOutput]:
         """Run one engine step for the given packed batch.
 
         ``sync=False`` leaves outputs as device arrays without blocking —
         callers that don't feed sampled tokens back (benchmarks, spec-free
         pipelining) can enqueue the next step immediately; XLA dispatch is
         async, so host-side RPC latency overlaps device execution (the
-        reference's execute_model/sample_tokens split, SURVEY.md §3.2)."""
+        reference's execute_model/sample_tokens split, SURVEY.md §3.2).
+
+        ``fetch_outputs=False`` (with ``sync=False``) returns None and
+        skips even the output-slicing device ops — the pure-prefill-chunk
+        path: nothing of the step's output is consumed, so the engine can
+        prepare and dispatch the next chunk while this one executes."""
         assert seqs, "empty step"
         s_pad = self.cfg.scheduler.max_num_seqs
         total_tokens = sum(len(s.query_tokens) for s in seqs)
@@ -670,6 +676,8 @@ class ModelRunner:
             self.weights, self.cache, jnp.asarray(flat_tokens), md, st,
             jnp.asarray(self.step_counter, jnp.int32), *extra)
         self.step_counter += 1
+        if not sync and not fetch_outputs:
+            return None
         n = len(seqs)
         has_topk = tkv.shape[-1] > 0
         if not sync:

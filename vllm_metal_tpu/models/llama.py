@@ -316,7 +316,7 @@ class LlamaModel:
             q, k, v = self.layer_qkv(lw, x, positions, lora=lora,
                                      rope_cs=rope_cs)
             sinks = getattr(lw, "sinks", None)
-            out, cache = backend.attend(i, q, k, v, cache, md, sinks)
+            out, cache = runtime.attend_carry(i, q, k, v, cache, sinks)
             x = self.layer_post_attn(lw, x, out, lora=lora)
             return (x, cache), None
 

@@ -49,7 +49,9 @@ DEFAULT_BQ = 128      # query rows per tile
 # kv positions per inner tile: per-iteration costs (cursor math, softmax
 # state update) amortize over the tile; DMA descriptors are per block
 KV_TILE = int(os.environ.get("VLLM_METAL_TPU_KV_TILE", "128"))
-NBUF = int(os.environ.get("VLLM_METAL_TPU_KV_NBUF", "6"))  # DMA ring depth (r4 sweep: 6 beats 4 by ~0.14 ms/step at 8B b16)
+# DMA ring depth in SLOTS; each slot holds TWO work items (the r5 paired
+# loop), so in-flight prefetch = 2*NBUF items (r4 sweep: 6 items optimal)
+NBUF = int(os.environ.get("VLLM_METAL_TPU_KV_NBUF", "3"))
 NEG_INF = -1e30
 # scoped-vmem budget for one grid step (chip limit 16MB; leave headroom for
 # Mosaic's own spills, semaphores, and the double-buffered q/out blocks)
@@ -59,11 +61,12 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 def _vmem_bytes(hc: int, g: int, bq: int, d: int, bs: int,
                 kv_tile: int) -> int:
     gbq = g * bq
+    sw = 2 * kv_tile                              # paired slot width
     return (2 * 2 * (hc * gbq * d * 2)            # q + out, double-buffered
-            + NBUF * 2 * hc * kv_tile * d * 2     # k + v tile rings
+            + NBUF * 2 * hc * sw * d * 2          # k + v tile rings
             + hc * gbq * d * 4                    # acc
             + 2 * hc * gbq * 128 * 4              # m, l
-            + hc * gbq * kv_tile * 4)             # scores
+            + hc * gbq * sw * 4)                  # scores
 
 
 def _kernel(
@@ -94,22 +97,26 @@ def _kernel(
     # so the per-tile QK/PV matmuls and softmax updates run once per tile
     # (decode's bq=8 rows alone starve the VPU/MXU).
     gbq = g * bq
+    sw = 2 * KV_TILE                  # paired slot width (2 work items)
     acc[...] = jnp.zeros((hc, gbq, d), jnp.float32)
     m_s[...] = jnp.full((hc, gbq, 128), NEG_INF, jnp.float32)
     l_s[...] = jnp.zeros((hc, gbq, 128), jnp.float32)
 
-    rows_g = jax.lax.broadcasted_iota(jnp.int32, (gbq, KV_TILE), 0)
+    rows_g = jax.lax.broadcasted_iota(jnp.int32, (gbq, sw), 0)
     rows = rows_g - (rows_g // bq) * bq              # tile-local row id
-    cols = jax.lax.broadcasted_iota(jnp.int32, (gbq, KV_TILE), 1)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (gbq, sw), 1)
+    is_b = cols2 >= KV_TILE                          # second-half columns
+    col_loc = cols2 - jnp.where(is_b, KV_TILE, 0)
 
     li = layer[0]
     nbuf = kbuf.shape[0]
 
-    def tile_dma(seq, tile, slot):
+    def tile_dma(seq, tile, slot, half):
         # per cache block: one contiguous ~hc*bs*d*2B descriptor for K and
         # one for V, landed at the block's row offset of per-head
         # CONTIGUOUS kv-tile buffers (strided dst sustains ~450 GB/s) —
-        # so compute below runs ONE wide dot per tile, not per block
+        # so compute below runs ONE wide dot per PAIR of tiles, not per
+        # block (r5: two work items share each slot/softmax update)
         copies = []
         for ci in range(c):
             blk_idx = jnp.minimum(tile * c + ci, mb - 1)
@@ -117,17 +124,10 @@ def _kernel(
             for kv_i, buf in ((0, kbuf), (1, vbuf)):
                 copies.append(pltpu.make_async_copy(
                     kv_hbm.at[li, blk, kv_i, pl.ds(hi0 * hc, hc)],
-                    buf.at[slot, :, pl.ds(ci * bs, bs)],
-                    kvsem.at[slot, ci, kv_i]))
+                    buf.at[slot, :,
+                           pl.ds(half * KV_TILE + ci * bs, bs)],
+                    kvsem.at[slot, half, ci, kv_i]))
         return copies
-
-    def start_kv(seq, tile, slot):
-        for cp in tile_dma(seq, tile, slot):
-            cp.start()
-
-    def wait_kv(seq, tile, slot):
-        for cp in tile_dma(seq, tile, slot):
-            cp.wait()
 
     # ---- host-precomputed work list ----
     # The (seq, kv-tile) visit order was computed on the host
@@ -142,37 +142,62 @@ def _kernel(
     w0 = work_start[ti]
     w1 = work_start[ti + 1]
 
-    def issue(w, slot):
+    def pair_item(w, half):
+        """Item index for a slot half; an odd tail clamps half 1 to the
+        last item (its DMA repeats, its mask is forced off — the buffer
+        never holds unintialized garbage that could NaN the PV dot)."""
+        return jnp.minimum(w + half, w1 - 1)
+
+    def issue_pair(w, slot):
         @pl.when(w < w1)
         def _():
-            seq, tile = unpack(w)
-            start_kv(seq, tile, slot)
+            for half in (0, 1):
+                seq, tile = unpack(pair_item(w, half))
+                for cp in tile_dma(seq, tile, slot, half):
+                    cp.start()
+
+    def wait_pair(w, slot):
+        for half in (0, 1):
+            seq, tile = unpack(pair_item(w, half))
+            for cp in tile_dma(seq, tile, slot, half):
+                cp.wait()
 
     for i in range(nbuf):
-        issue(w0 + i, i)
+        issue_pair(w0 + 2 * i, i)
 
     qv = q_blk[...].reshape(hc, gbq, d)                  # stacked heads
 
-    def loop_body(w, slot):
+    def seq_params(w):
         seq, tile = unpack(w)
-        ct = tile
         seq1 = jnp.minimum(seq + 1, s_max)
         q_lo = jnp.maximum(qsl[seq], row0) - row0        # tile-local
         q_hi = jnp.minimum(qsl[seq1], row_end) - row0
         pos_row0 = ctx[seq] - (qsl[seq1] - qsl[seq]) + (row0 - qsl[seq])
-        row_pos = pos_row0 + rows
+        return tile, q_lo, q_hi, pos_row0
+
+    def loop_body(p_i, slot):
+        w = w0 + 2 * p_i
+        ta, qlo_a, qhi_a, pr_a = seq_params(pair_item(w, 0))
+        tb, qlo_b, qhi_b, pr_b = seq_params(pair_item(w, 1))
+        valid_b = (w + 1) < w1
+
+        # per-element half params ([gbq, sw] via scalar selects)
+        q_lo = jnp.where(is_b, qlo_b, qlo_a)
+        q_hi = jnp.where(is_b, qhi_b, qhi_a)
+        row_pos = jnp.where(is_b, pr_b, pr_a) + rows
+        kv_pos = jnp.where(is_b, tb, ta) * KV_TILE + col_loc
         row_in = (rows >= q_lo) & (rows < q_hi)
 
-        wait_kv(seq, tile, slot)
-        # ONE wide batched QK dot over the whole kv tile
+        wait_pair(w, slot)
+        # ONE wide batched QK dot over BOTH kv tiles of the pair
         s = jax.lax.dot_general(
             qv, kbuf[slot],
             (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # [hc, gbq, KV_TILE]
-        kv_pos = ct * KV_TILE + cols
+            preferred_element_type=jnp.float32) * scale  # [hc, gbq, sw]
         mask = row_in & (kv_pos <= row_pos)
         if sliding_window is not None:
             mask &= kv_pos > row_pos - sliding_window
+        mask &= jnp.logical_or(~is_b, valid_b)           # odd-tail half off
         if logit_softcap:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
         s = jnp.where(mask[None], s, NEG_INF)
@@ -194,10 +219,11 @@ def _kernel(
             preferred_element_type=jnp.float32)          # [hc, gbq, d]
 
         # the slot is consumed — reuse it for the next prefetch
-        issue(w + nbuf, slot)
+        issue_pair(w + 2 * nbuf, slot)
         return jnp.where(slot + 1 == nbuf, 0, slot + 1)
 
-    jax.lax.fori_loop(w0, w1, loop_body, jnp.int32(0))
+    n_pairs = (w1 - w0 + 1) // 2
+    jax.lax.fori_loop(0, n_pairs, loop_body, jnp.int32(0))
 
     if has_sinks:
         for h in range(hc):
@@ -280,12 +306,12 @@ def _paged_attention_call(
         out_specs=pl.BlockSpec((hc, g, bq, d), lambda h, t, *_: (h, 0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, hc, kv_tile, d), kv_cache.dtype),  # k ring
-            pltpu.VMEM((NBUF, hc, kv_tile, d), kv_cache.dtype),  # v ring
+            pltpu.VMEM((NBUF, hc, 2 * kv_tile, d), kv_cache.dtype),  # k ring
+            pltpu.VMEM((NBUF, hc, 2 * kv_tile, d), kv_cache.dtype),  # v ring
             pltpu.VMEM((hc, g * bq, d), jnp.float32),     # acc
             pltpu.VMEM((hc, g * bq, 128), jnp.float32),   # m
             pltpu.VMEM((hc, g * bq, 128), jnp.float32),   # l
-            pltpu.SemaphoreType.DMA((NBUF, c, 2)),         # kvsem
+            pltpu.SemaphoreType.DMA((NBUF, 2, c, 2)),      # kvsem
         ],
     )
 

@@ -31,51 +31,96 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(layer, ublocks, *refs, n_arr: int, nb: int):
     """refs: payload_0..n, mask_0..n (VMEM, block-sliced),
-    pool_in_0..n (ANY), pool_out_0..n (ANY), stage_0..n, lsem, ssem."""
+    pool_in_0..n (ANY), pool_out_0..n (ANY), lstage_0..n, sstage_0..n,
+    lsem, ssem.
+
+    SOFTWARE-PIPELINED RMW across grid steps (r5): the old
+    load->wait->blend->store->wait sequence per block serialized two DMA
+    round-trip latencies per touched block (~5.7 ms/step of a TQ decode
+    — more than the attention read).  Stage buffers are double-buffered
+    rings persisting across grid steps: step b waits the load it issued
+    at b-2, blends into a separate store ring, and prefetches block
+    b+2's load, so all DMA latency overlaps neighbor blocks' work.
+    Blocks are disjoint (ublocks is sorted-unique), so reordered
+    loads/stores never alias."""
     pays = refs[:n_arr]
     msks = refs[n_arr:2 * n_arr]
     outs = refs[3 * n_arr:4 * n_arr]
-    stages = refs[4 * n_arr:5 * n_arr]
-    lsem, ssem = refs[5 * n_arr], refs[5 * n_arr + 1]
+    lstages = refs[4 * n_arr:5 * n_arr]
+    sstages = refs[5 * n_arr:6 * n_arr]
+    lsem, ssem = refs[6 * n_arr], refs[6 * n_arr + 1]
     li = layer[0]
     b = pl.program_id(0)
-    blk = ublocks[b]
+    b_pad = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
 
-    @pl.when(blk < nb)
+    def load_copies(bi, s):
+        return [pltpu.make_async_copy(
+            outs[j].at[li, ublocks[bi]], lstages[j].at[s],
+            lsem.at[s, j]) for j in range(n_arr)]
+
+    def store_copies(bi, s):
+        return [pltpu.make_async_copy(
+            sstages[j].at[s], outs[j].at[li, ublocks[bi]],
+            ssem.at[s, j]) for j in range(n_arr)]
+
+    def issue_load(bi, s):
+        @pl.when((bi < b_pad) & (ublocks[jnp.minimum(bi, b_pad - 1)] < nb))
+        def _():
+            for cp in load_copies(bi, s):
+                cp.start()
+
+    @pl.when(b == 0)
     def _():
-        def copies(sem, to_hbm):
-            cps = []
-            for j in range(n_arr):
-                hbm = outs[j].at[li, :, blk]
-                cps.append(pltpu.make_async_copy(
-                    hbm if not to_hbm else stages[j],
-                    stages[j] if not to_hbm else hbm,
-                    sem.at[j]))
-            return cps
+        issue_load(0, 0)
+        issue_load(1, 1)
 
-        for cp in copies(lsem, to_hbm=False):
-            cp.start()
-        for cp in copies(lsem, to_hbm=False):
+    @pl.when(ublocks[b] < nb)
+    def _():
+        # drain the store that used this slot two steps ago before
+        # overwriting its staging buffer
+        @pl.when(b >= 2)
+        def _():
+            for cp in store_copies(b - 2, slot):
+                cp.wait()
+        for cp in load_copies(b, slot):
             cp.wait()
         for j in range(n_arr):
-            old = stages[j][...]
+            old = lstages[j][slot]
             pay = pays[j][0]
             msk = msks[j][0]
             if old.dtype == jnp.int8:
-                stages[j][...] = (old & ~msk) | pay
+                sstages[j][slot] = (old & ~msk) | pay
             else:
-                stages[j][...] = jnp.where(msk != 0, pay, old)
-        for cp in copies(ssem, to_hbm=True):
+                sstages[j][slot] = jnp.where(msk != 0, pay, old)
+        for cp in store_copies(b, slot):
             cp.start()
-        for cp in copies(ssem, to_hbm=True):
-            cp.wait()
+        issue_load(b + 2, slot)
+
+    # epilogue: drain in-flight stores.  Pads sort to the END of
+    # ublocks, so the real blocks form a prefix [0, R): the last two
+    # stores in flight belong to R-1 and R-2 (steps R.. skipped their
+    # waits as pads).
+    @pl.when(b == b_pad - 1)
+    def _():
+        r = jax.lax.fori_loop(
+            0, b_pad,
+            lambda i, acc: acc + jnp.where(ublocks[i] < nb, 1, 0),
+            jnp.int32(0))
+        for off in (2, 1):
+            bi = r - off
+
+            @pl.when(bi >= 0)
+            def _(bi=bi):
+                for cp in store_copies(bi, jax.lax.rem(bi, 2)):
+                    cp.wait()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret",),
                    donate_argnums=(0,))
 def tq_block_write(
-    pools: tuple,       # N arrays [L, KH, NB, rows_j, lanes_j] (aliased)
+    pools: tuple,       # N arrays [L, NB, KH, rows_j, lanes_j] (aliased)
     ublocks: jax.Array,  # [B] touched blocks, pad == NB (skipped)
     payloads: tuple,    # N arrays [B, KH, rows_j, lanes_j]
     masks: tuple,       # N int8 arrays [B, KH, rows_j, lanes_j]
@@ -84,9 +129,9 @@ def tq_block_write(
 ):
     pools = tuple(pools)
     n_arr = len(pools)
-    nb = pools[0].shape[2]
+    nb = pools[0].shape[1]
     b_pad = ublocks.shape[0]
-    kh = pools[0].shape[1]
+    kh = pools[0].shape[2]
     layer = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     masks = tuple(m.astype(jnp.int8) for m in masks)
     payloads = tuple(p.astype(pool.dtype)
@@ -107,10 +152,12 @@ def tq_block_write(
         in_specs=blocked + blocked_m
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
-        scratch_shapes=[pltpu.VMEM((p.shape[1],) + p.shape[3:], p.dtype)
-                        for p in pools]
-        + [pltpu.SemaphoreType.DMA((n_arr,)),
-           pltpu.SemaphoreType.DMA((n_arr,))],
+        scratch_shapes=[pltpu.VMEM((2,) + p.shape[2:], p.dtype)
+                        for p in pools]            # load ring
+        + [pltpu.VMEM((2,) + p.shape[2:], p.dtype)
+           for p in pools]                          # store ring
+        + [pltpu.SemaphoreType.DMA((2, n_arr)),
+           pltpu.SemaphoreType.DMA((2, n_arr))],
     )
     # args: (layer, ublocks, payload x n, mask x n, pool x n)
     out = pl.pallas_call(

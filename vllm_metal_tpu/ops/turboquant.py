@@ -288,6 +288,16 @@ def v_encode(v: jax.Array, codec: str) -> tuple[jax.Array, jax.Array]:
     assert d in FWHT_SUPPORTED_HEAD_DIMS, d
     signs = jnp.asarray(fwht_signs(d))
     r = fwht(v.astype(jnp.float32) * signs)
+    if bits == 8:
+        # AFFINE 8-bit (r5): codes = round(r / s), s = max|r|/127.  The
+        # in-kernel dequant is a bare int8 cast (the per-token scale is
+        # already folded into the softmax weights) — the Lloyd-256
+        # codebook this replaces needed a 256-way VPU select per element,
+        # which made the "fast" codec the slowest one on TPU.
+        scale = _round_bf16(
+            jnp.max(jnp.abs(r), axis=-1) / 127.0 + 1e-12)
+        codes = jnp.clip(jnp.round(r / scale[..., None]), -127, 127)
+        return codes.astype(jnp.int8), scale
     scale = _round_bf16(jnp.sqrt(jnp.mean(r * r, axis=-1) + 1e-12))
     rn = r / scale[..., None]
     levels = jnp.asarray(_lloyd_codebook(bits))
@@ -299,23 +309,37 @@ def v_encode(v: jax.Array, codec: str) -> tuple[jax.Array, jax.Array]:
 def v_decode(codes: jax.Array, scale: jax.Array, codec: str,
              dtype=jnp.bfloat16) -> jax.Array:
     bits = _V_BITS[codec]
+    d = codes.shape[-1]
+    signs = jnp.asarray(fwht_signs(d))
+    if bits == 8:
+        r = codes.astype(jnp.float32) * scale[..., None]
+        return (fwht(r) * signs).astype(dtype)
     levels = jnp.asarray(_lloyd_codebook(bits))
     rn = levels[codes.astype(jnp.int32) & ((1 << bits) - 1)]
     r = rn * scale[..., None]
-    d = codes.shape[-1]
-    signs = jnp.asarray(fwht_signs(d))
     # FWHT is its own inverse (normalized); undo signs after
     return (fwht(r) * signs).astype(dtype)
 
 
-def compression_ratio(codec_k: str, codec_v: str, head_dim: int) -> float:
+def compression_ratio(codec_k: str, codec_v: str, head_dim: int,
+                      block_size: int = 0) -> float:
     """Cache compression vs bf16 for the PACKED pool layout (codes in bit
     planes, bf16 scales) — the layout ``QuantPagedKVCache`` allocates.
-    Reference comparison: ``/root/reference/docs/turboquant.md``
-    "Compression" (q8_0/q3_0 2.56x .. uint2/q3_0 4.92x)."""
+    ``block_size=128`` additionally accounts for the on-chip pools'
+    sublane-tile row padding (int8: 32 rows, bf16: 8).  Reference
+    comparison: ``/root/reference/docs/turboquant.md`` "Compression"
+    (q8_0/q3_0 2.56x .. uint2/q3_0 4.92x)."""
     _, kb = _K_PARAMS[codec_k]
     vb = _V_BITS[codec_v]
     base = 2 * head_dim * 2                 # K + V rows in bf16
+    if block_size == 128 and head_dim % 128 == 0:
+        g = head_dim // K_BLOCK
+        k_hi, k_lo = block_plane_rows(block_size, kb)
+        v_hi, v_lo = block_plane_rows(block_size, vb)
+        r8 = -(-(k_hi + k_lo + v_hi + v_lo) // 32) * 32
+        rs = -(-(2 * g + 2) // 8) * 8
+        per_tok = (r8 * head_dim + rs * block_size * 2) / block_size
+        return base * 2 / per_tok * 0.5
     k_hi, k_lo = packed_widths(head_dim, kb)
     v_hi, v_lo = packed_widths(head_dim, vb)
     k_bytes = k_hi + k_lo + head_dim // K_BLOCK * 2 * 2   # + bf16 scale+zero
